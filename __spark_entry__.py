@@ -1,38 +1,698 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction DAG on a deterministic
+synthetic pages table (BASELINE.json input_hint shape) and returns the
+resulting bi-temporal edges.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; each has a DuckDB ``oracle_sql()`` twin unless the operator is
+not SQL-expressible (the KG pipeline itself, which is instead verified
+against the single-process oracle in tests/test_pipeline_vs_oracle.py).
+
+Numeric parity notes: monetary aggregates go through DECIMAL(18,4) so Spark
+and DuckDB agree bit-for-bit after round(); float outputs are rounded to
+stable precision.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KG_PAGES = 240  # deterministic synthetic corpus size for the KG queries
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    return F.col(col).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (extract → link → canonicalize →
+    dedup → bi-temporal) over the synthetic Common-Crawl-style pages table;
+    returns the edges table (without embeddings, for smoke speed)."""
+    from kgspark.datagen import pages_spark
+    from kgspark.pipeline import build_graph
+
+    pages = pages_spark(spark, 500)
+    out = build_graph(pages, check_text=False, compute_embeddings=False)
+    return out["edges"].select(
+        "uuid", "source_node_uuid", "target_node_uuid", "name", "fact",
+        "group_id", "created_at", "valid_at", "invalid_at", "expired_at")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (non-SQL-expressible: verified vs the oracle in tests;
+# driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+_KG_CACHE: dict[int, dict] = {}
+
+
+def _kg(spark: SparkSession):
+    # one shared build per session: the 5 kg_* queries are views over the
+    # same DAG (driver runs them one by one)
+    key = id(spark)
+    if key not in _KG_CACHE:
+        from kgspark.datagen import pages_spark
+        from kgspark.pipeline import build_graph
+        out = build_graph(pages_spark(spark, KG_PAGES), check_text=False,
+                          compute_embeddings=False)
+        _KG_CACHE[key] = {k: v.localCheckpoint() for k, v in out.items()}
+    return _KG_CACHE[key]
+
+
+def q_kg_edges(spark, sf_dir):
+    return _kg(spark)["edges"].select(
+        "uuid", "source_node_uuid", "target_node_uuid", "name", "fact",
+        "group_id", "created_at", "valid_at", "invalid_at", "expired_at")
+
+
+def q_kg_nodes(spark, sf_dir):
+    return _kg(spark)["nodes"].select(
+        "uuid", "name", "group_id", "labels", "created_at", "summary")
+
+
+def q_kg_mentions(spark, sf_dir):
+    return _kg(spark)["mentions"]
+
+
+def q_kg_invalidations(spark, sf_dir):
+    return _kg(spark)["edge_invalidations"]
+
+
+def q_kg_previous_instances(spark, sf_dir):
+    return _kg(spark)["previous_instance_edges"]
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / joins / top-k (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape: the groupBy/agg workhorse under every count/sum in the
+    # DAG (mention counts, provenance sizes)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))), 2)
+             .cast("double").alias("revenue"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderdate", "revenue")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+def q_regional_revenue(spark, sf_dir):
+    r, n = _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation")
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, r["r_regionkey"] == n["n_regionkey"])
+        .join(c, n["n_nationkey"] == c["c_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("r_name")
+        .agg(F.round(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))), 2)
+             .cast("double").alias("revenue"),
+             F.countDistinct("o_orderkey").alias("n_orders"))
+        .orderBy("r_name")
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    # uuid-list point lookup analog (nodes.py:178-284): IN-list filter
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey").isin(1, 2, 3, 4, 5, 6, 7))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q_orphan_customers(spark, sf_dir):
+    # orphan GC anti-join (remove_episode, graphiti.py:641-704)
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    return (
+        c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    )
+
+
+def q_pagination(spark, sf_dir):
+    # cursor pagination analog (nodes.py:250-274): row_number slice
+    p = _t(spark, sf_dir, "part")
+    w = Window.orderBy("p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .select("rn", "p_partkey", "p_name")
+    )
+
+
+def q_two_hop_counts(spark, sf_dir):
+    # BFS 2-hop neighborhood size analog (search_utils.py:274-326):
+    # customer -> nation -> sibling customers
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sib = c.withColumnRenamed("c_custkey", "sib_key")
+    return (
+        c.filter(F.col("c_custkey") <= 30)
+        .join(sib, "c_nationkey")
+        .filter(F.col("sib_key") != F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("two_hop_neighbors"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function operators (temporal pass / dedup / context window analogs,
+# SURVEY.md §2.4/§2.8)
+# ---------------------------------------------------------------------------
+
+def q_temporal_close(spark, sf_dir):
+    # the bi-temporal lead-window: each (user, event_type) assertion is
+    # closed by the next one (invalid_at = lead(ts)) — kgspark/temporal.py
+    # semantics over a driver-provided table
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("invalid_at", F.lead("ts").over(w))
+        .withColumn("is_current", F.col("invalid_at").isNull())
+        .select("event_id", "user_id", "event_type",
+                F.col("ts").alias("valid_at"), "invalid_at", "is_current")
+        .orderBy("event_id")
+    )
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    # duplicate-class keep-first (dedupe_extracted_edge analog)
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"),
+                F.col("ts").alias("first_ts"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q_context_window(spark, sf_dir):
+    # previous-episodes context (EPISODE_WINDOW_LEN=3,
+    # graph_data_operations.py:104-159): lag window of prior event types
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, -1)
+    return (
+        e.withColumn("prev_context",
+                     F.array_join(F.collect_list("event_type").over(w), "|"))
+        .select("event_id", "user_id", "prev_context")
+        .orderBy("event_id")
+    )
+
+
+def q_provenance_sets(spark, sf_dir):
+    # provenance episode-set merge (edge_operations.py:186-187):
+    # collect_set + deterministic ordering
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_join(F.array_sort(F.collect_set(F.col("o_orderkey").cast("string"))), ",")
+             .alias("order_keys"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search / rerank operators (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+def q_mention_count_rerank(spark, sf_dir):
+    # episode_mentions_reranker (search_utils.py:775-799)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy(F.desc("n_mentions"), "user_id").limit(20)
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    # reciprocal-rank fusion (rrf, search_utils.py:721-732): two rankings of
+    # users (by event count / by total value) fused with 1/(rank+1)
+    e = _t(spark, sf_dir, "events")
+    by_count = (
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("m"), F.col("user_id"))))
+        .select("user_id", "rank")
+    )
+    by_value = (
+        e.groupBy("user_id")
+        .agg(F.round(F.sum(_dec("value")), 2).alias("v"))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("v"), F.col("user_id"))))
+        .select("user_id", "rank")
+    )
+    return (
+        by_count.union(by_value)
+        .groupBy("user_id")
+        .agg(F.round(F.sum(1.0 / (F.col("rank") + 1)), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "user_id")
+        .limit(20)
+    )
+
+
+def q_bm25_lite(spark, sf_dir):
+    # fulltext scoring analog (edge_fulltext_search, search_utils.py:143-194):
+    # per-doc term-frequency scoring for a fixed query, top-k
+    d = _t(spark, sf_dir, "documents")
+    tf_scan = F.size(F.expr(r"regexp_extract_all(text, 'scan', 0)"))
+    tf_join = F.size(F.expr(r"regexp_extract_all(text, 'join', 0)"))
+    return (
+        d.withColumn("score", tf_scan + tf_join)
+        .filter(F.col("score") > 0)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    # JSON episode content passthrough (prompts/extract_nodes.py:111-134)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k_val", F.get_json_object("props", "$.k"))
+        .groupBy("k_val").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops over `documents` (dedup / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_docs(spark, sf_dir):
+    # exact dedup via content hash
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("text_hash")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    # token counting + quality scoring (length / token counts)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("n_chars_actual"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    # heuristic language-ID: English stopword evidence
+    d = _t(spark, sf_dir, "documents")
+    the_count = F.size(F.expr(r"regexp_extract_all(text, '\\bthe\\b', 0)"))
+    return (
+        d.select(
+            "doc_id", "lang",
+            the_count.alias("en_evidence"),
+            F.when(the_count >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_minhash_fingerprint(spark, sf_dir):
+    # document fingerprinting: 4-seed minhash signature over tokens (the
+    # same md5-based minhash family as entity-linking LSH)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    cols = [F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"s{i}|"), t))))
+            .alias(f"mh{i}") for i in range(4)]
+    return d.select("doc_id", *cols).orderBy("doc_id")
+
+
+def q_neardup_pairs(spark, sf_dir):
+    # MinHash-LSH near-duplicate candidate pairs: docs sharing any of the 4
+    # fingerprint bands (band groups capped at 20 to bound the pair
+    # explosion — the scale-safe LSH shape)
+    fp = q_minhash_fingerprint(spark, sf_dir)
+    pairs = None
+    for i in range(4):
+        side = fp.select(F.col("doc_id"), F.col(f"mh{i}").alias("band"))
+        sizes = side.groupBy("band").agg(F.count(F.lit(1)).alias("bc"))
+        bounded = side.join(sizes.filter((F.col("bc") >= 2) & (F.col("bc") <= 20)), "band")
+        a = bounded.select("band", F.col("doc_id").alias("doc_a"))
+        b = bounded.select("band", F.col("doc_id").alias("doc_b"))
+        p = a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b")) \
+             .select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.union(p)
+    return pairs.distinct().orderBy("doc_a", "doc_b")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    # n-gram (token-set) Jaccard over the LSH candidate pairs
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.array_distinct(
+                        F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = q_neardup_pairs(spark, sf_dir)
+    inter = (
+        pairs
+        .join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tok", "tok2"),
+              "doc_b")
+        .filter(F.col("tok") == F.col("tok2"))
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4)
+                .alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    # brute-force cosine top-k over the embeddings table (similarity search
+    # baseline; edge_similarity_search analog, search_utils.py:197-271)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv"))
+    dot = F.aggregate(F.zip_with(F.col("ev"), F.col("qv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                       F.lit(0.0), lambda a, v: a + v))  # noqa: E731
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(dot / (nrm(F.col("ev")) * nrm(F.col("qv"))), 4))
+        .select("vec_id", "cos")
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_edges": q_kg_edges,
+        "kg_nodes": q_kg_nodes,
+        "kg_mentions": q_kg_mentions,
+        "kg_invalidations": q_kg_invalidations,
+        "kg_previous_instances": q_kg_previous_instances,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "regional_revenue": q_regional_revenue,
+        "point_lookup": q_point_lookup,
+        "orphan_customers": q_orphan_customers,
+        "pagination": q_pagination,
+        "two_hop_counts": q_two_hop_counts,
+        "temporal_close": q_temporal_close,
+        "dedup_keep_first": q_dedup_keep_first,
+        "context_window": q_context_window,
+        "provenance_sets": q_provenance_sets,
+        "mention_count_rerank": q_mention_count_rerank,
+        "rrf_fusion": q_rrf_fusion,
+        "bm25_lite": q_bm25_lite,
+        "json_extract": q_json_extract,
+        "exact_dup_docs": q_exact_dup_docs,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "minhash_fingerprint": q_minhash_fingerprint,
+        "neardup_pairs": q_neardup_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "::DECIMAL(18,4)"
+    rev = f"l_extendedprice{dec} * (1{dec} - l_discount{dec})"
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity{dec}), 2)::DOUBLE AS sum_qty,
+                   round(sum(l_extendedprice{dec}), 2)::DOUBLE AS sum_base_price,
+                   round(sum({rev}), 2)::DOUBLE AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": f"""
+            SELECT o_orderkey AS orderkey, o_orderdate,
+                   round(sum({rev}), 2)::DOUBLE AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, orderkey LIMIT 10
+        """,
+        "regional_revenue": f"""
+            SELECT r_name,
+                   round(sum({rev}), 2)::DOUBLE AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM region JOIN nation ON r_regionkey = n_regionkey
+                 JOIN customer ON n_nationkey = c_nationkey
+                 JOIN orders ON c_custkey = o_custkey
+                 JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "point_lookup": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM lineitem WHERE l_orderkey IN (1,2,3,4,5,6,7)
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "orphan_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+            ORDER BY c_custkey
+        """,
+        "pagination": """
+            SELECT rn, p_partkey, p_name FROM (
+              SELECT row_number() OVER (ORDER BY p_partkey) AS rn, p_partkey, p_name
+              FROM part) t
+            WHERE rn > 20 AND rn <= 40
+        """,
+        "two_hop_counts": """
+            SELECT c.c_custkey, count(*) AS two_hop_neighbors
+            FROM customer c JOIN customer s
+              ON c.c_nationkey = s.c_nationkey AND s.c_custkey <> c.c_custkey
+            WHERE c.c_custkey <= 30
+            GROUP BY c.c_custkey ORDER BY c.c_custkey
+        """,
+        "temporal_close": """
+            SELECT event_id, user_id, event_type, ts AS valid_at,
+                   lead(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS invalid_at,
+                   lead(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events ORDER BY event_id
+        """,
+        "dedup_keep_first": """
+            SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events) t
+            WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+        "context_window": """
+            SELECT event_id, user_id,
+                   coalesce(string_agg(event_type, '|') OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS prev_context
+            FROM events ORDER BY event_id
+        """,
+        "provenance_sets": """
+            SELECT o_custkey,
+                   string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey::VARCHAR)
+                       AS order_keys,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "mention_count_rerank": """
+            SELECT user_id, count(*) AS n_mentions FROM events
+            GROUP BY user_id ORDER BY n_mentions DESC, user_id LIMIT 20
+        """,
+        "rrf_fusion": """
+            WITH by_count AS (
+              SELECT user_id, row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
+              FROM events GROUP BY user_id),
+            by_value AS (
+              SELECT user_id, row_number() OVER (
+                  ORDER BY round(sum(value::DECIMAL(18,4)), 2) DESC, user_id) AS rank
+              FROM events GROUP BY user_id),
+            unioned AS (SELECT * FROM by_count UNION ALL SELECT * FROM by_value)
+            SELECT user_id, round(sum(1.0 / (rank + 1)), 6) AS rrf_score
+            FROM unioned GROUP BY user_id
+            ORDER BY rrf_score DESC, user_id LIMIT 20
+        """,
+        "bm25_lite": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'scan')) +
+                   len(regexp_extract_all(text, 'join')) AS score
+            FROM documents
+            WHERE len(regexp_extract_all(text, 'scan')) +
+                  len(regexp_extract_all(text, 'join')) > 0
+            ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        "json_extract": """
+            SELECT json_extract_string(props, '$.k') AS k_val, count(*) AS n
+            FROM events GROUP BY k_val ORDER BY k_val
+        """,
+        "exact_dup_docs": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text) ORDER BY text_hash
+        """,
+        "token_stats": """
+            SELECT doc_id, length(text) AS n_chars_actual,
+                   len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+                   len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))
+                       AS n_unique_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": r"""
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '\bthe\b')) AS en_evidence,
+                   CASE WHEN len(regexp_extract_all(text, '\bthe\b')) >= 2
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents ORDER BY doc_id
+        """,
+        "minhash_fingerprint": """
+            SELECT doc_id,
+                   list_aggregate(list_transform(list_distinct(
+                       regexp_extract_all(text, '[a-z0-9]+')),
+                       t -> md5('s0|' || t)), 'min') AS mh0,
+                   list_aggregate(list_transform(list_distinct(
+                       regexp_extract_all(text, '[a-z0-9]+')),
+                       t -> md5('s1|' || t)), 'min') AS mh1,
+                   list_aggregate(list_transform(list_distinct(
+                       regexp_extract_all(text, '[a-z0-9]+')),
+                       t -> md5('s2|' || t)), 'min') AS mh2,
+                   list_aggregate(list_transform(list_distinct(
+                       regexp_extract_all(text, '[a-z0-9]+')),
+                       t -> md5('s3|' || t)), 'min') AS mh3
+            FROM documents ORDER BY doc_id
+        """,
+        "neardup_pairs": """
+            WITH fp AS (
+              SELECT doc_id, b.band, b.i FROM documents,
+              LATERAL (
+                SELECT unnest(['s0','s1','s2','s3']) AS seed,
+                       unnest([0,1,2,3]) AS i
+              ) s(seed, i),
+              LATERAL (
+                SELECT list_aggregate(list_transform(list_distinct(
+                    regexp_extract_all(text, '[a-z0-9]+')),
+                    t -> md5(s.seed || '|' || t)), 'min') AS band, s.i AS i
+              ) b(band, i)
+            ),
+            bounded AS (
+              SELECT * FROM fp
+              WHERE (i, band) IN (
+                SELECT (i, band) FROM fp GROUP BY i, band
+                HAVING count(*) BETWEEN 2 AND 20)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bounded a JOIN bounded b
+              ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard": """
+            WITH fp AS (
+              SELECT doc_id, b.band, b.i FROM documents,
+              LATERAL (
+                SELECT unnest(['s0','s1','s2','s3']) AS seed,
+                       unnest([0,1,2,3]) AS i
+              ) s(seed, i),
+              LATERAL (
+                SELECT list_aggregate(list_transform(list_distinct(
+                    regexp_extract_all(text, '[a-z0-9]+')),
+                    t -> md5(s.seed || '|' || t)), 'min') AS band, s.i AS i
+              ) b(band, i)
+            ),
+            bounded AS (
+              SELECT * FROM fp
+              WHERE (i, band) IN (
+                SELECT (i, band) FROM fp GROUP BY i, band
+                HAVING count(*) BETWEEN 2 AND 20)
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bounded a JOIN bounded b
+                ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id
+            ),
+            toks AS (
+              SELECT doc_id, unnest(list_distinct(
+                  regexp_extract_all(text, '[a-z0-9]+'))) AS tok
+              FROM documents
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT p.doc_a, p.doc_b, count(*) AS inter
+              FROM pairs p JOIN toks ta ON ta.doc_id = p.doc_a
+                   JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+              GROUP BY p.doc_a, p.doc_b
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,213 @@
+"""Entity linking: blocking + scoring + alias pairs.
+
+Replaces the reference's per-extracted-node hybrid candidate search +
+LLM duplicate decision (get_relevant_nodes /root/reference/graphiti_core/
+search/search_utils.py:638-676, resolve_extracted_node
+utils/maintenance/node_operations.py:268-415, name-exact match
+utils/bulk_utils.py:205-215) with one similarity self-join:
+
+1. distinct entities per (group_id, normalized name) — exact dupes collapse
+   here for free (the ``node_name_match`` analog);
+2. MinHash-LSH band keys (same function as the oracle) + first-token blocks
+   as candidate-pair generators;
+3. **explicit hub salting** of hot blocking keys before the pair shuffle
+   (north rule): hot keys are detected by frequency and split across salts
+   with one side replicated, which preserves every pair exactly while
+   spreading Zipf-hub blocks over the cluster;
+4. pair scoring fully JVM-side (whole-stage codegen): normalized-equality,
+   abbreviation rule, shingle-Jaccard + embedding-cosine (stored 1024-dim
+   hashed embeddings, dot product via ``F.zip_with``/``F.aggregate``) — the
+   same decision rule as ``textcore.should_link`` (parity-tested).
+
+Dynamic events never link (node_operations.py:56-64); they chain via
+PREVIOUS_INSTANCE edges instead (node_operations.py:379-394).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark import udfs
+from kgspark.textcore import (
+    LINK_COSINE_THRESHOLD,
+    LINK_JACCARD_THRESHOLD,
+)
+
+# Blocks larger than this are considered skewed (hub keys) and get salted.
+HOT_KEY_THRESHOLD = 256
+N_SALTS = 8
+
+
+def distinct_entities(mentions: DataFrame) -> DataFrame:
+    """One row per (group_id, normalized name): the unit of linking.
+
+    ``ext_uuid`` is deterministic (md5 of group + normalized name) so both
+    the Spark DAG and the oracle agree on pre-canonicalization identity.
+    """
+    per_name = (
+        mentions
+        .withColumn("norm_name", udfs.norm_name_col(F.col("name")))
+        .groupBy("group_id", "norm_name", "name", "label")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("warc_ts").alias("fs"))
+    )
+    e = (
+        per_name
+        .groupBy("group_id", "norm_name")
+        .agg(
+            # representative raw name: most-mentioned, then longest, then max
+            # (prefers full names over aliases; deterministic tie-break —
+            # resolve_extracted_node keeps the resolved/full name)
+            F.max(F.struct(F.col("c"), F.length("name").alias("l"),
+                           F.col("name").alias("n"),
+                           F.col("label").alias("lb"))).alias("rep"),
+            F.min("fs").alias("first_seen"),
+            F.sum("c").alias("n_mentions"),
+        )
+        .select(
+            "group_id", "norm_name",
+            F.col("rep.n").alias("name"), F.col("rep.lb").alias("label"),
+            "first_seen", "n_mentions",
+        )
+        .withColumn("ext_uuid", F.md5(F.concat_ws("|", F.lit("ent"),
+                                                  F.col("group_id"), F.col("norm_name"))))
+        .withColumn("is_dynamic", F.col("label") == F.lit("DynamicEvent"))
+    )
+    return e
+
+
+def _shingle_col(norm_name):
+    """Char-3-shingles of '^'+norm+'$' — JVM-side mirror of
+    textcore.name_shingles (parity-tested)."""
+    padded = F.concat(F.lit("^"), norm_name, F.lit("$"))
+    return F.when(
+        F.length(padded) <= 3, F.array(padded)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - 2),
+                lambda i: padded.substr(i, F.lit(3)),
+            )
+        )
+    )
+
+
+def _salted_self_join(keys: DataFrame, key_cols: list[str], payload: str) -> DataFrame:
+    """Self-join ``keys`` on ``key_cols`` producing unordered distinct pairs of
+    ``payload`` values, with explicit salting of hot keys.
+
+    Hot keys (frequency > HOT_KEY_THRESHOLD) are detected with a cheap
+    aggregate, broadcast, and split: the left side gets a deterministic salt
+    in [0, N_SALTS); the right side is replicated across all salts for hot
+    keys only. Every pair is preserved exactly once; hub blocks no longer
+    land on a single reducer. (North-rule requirement: salt skewed hub
+    entities before the link-score shuffle; SURVEY.md §4 skew row.)
+    """
+    hot = (
+        keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("kc"))
+        .filter(F.col("kc") > HOT_KEY_THRESHOLD)
+        .select(*key_cols, F.lit(True).alias("is_hot"))
+    )
+    k = (
+        keys.join(F.broadcast(hot), key_cols, "left")
+        .withColumn("is_hot", F.coalesce(F.col("is_hot"), F.lit(False)))
+    )
+    left = k.withColumn(
+        "salt",
+        F.when(F.col("is_hot"), F.pmod(F.xxhash64(payload), F.lit(N_SALTS))).otherwise(F.lit(0)),
+    )
+    right = k.withColumn(
+        "salt",
+        F.explode(
+            F.when(F.col("is_hot"), F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ),
+    )
+    a = left.select(*key_cols, "salt", F.col(payload).alias("pa"))
+    b = right.select(*key_cols, "salt", F.col(payload).alias("pb"))
+    return (
+        a.join(b, key_cols + ["salt"])
+        .filter(F.col("pa") < F.col("pb"))
+        .select(key_cols[0], "pa", "pb")
+        .distinct()
+    )
+
+
+def candidate_pairs(entities: DataFrame) -> DataFrame:
+    """Blocking: MinHash-LSH bands ∪ first-token blocks -> distinct
+    (group_id, norm_name a, norm_name b) candidate pairs (a < b)."""
+    linkable = entities.filter(~F.col("is_dynamic"))
+    bands = udfs.entity_band_keys(linkable)
+    band_pairs = _salted_self_join(
+        bands.select("group_id", "band_key", "norm_name"),
+        ["group_id", "band_key"], "norm_name",
+    )
+    blocks = linkable.select(
+        "group_id",
+        F.split(F.col("norm_name"), " ").getItem(0).alias("block_key"),
+        "norm_name",
+    )
+    block_pairs = _salted_self_join(blocks, ["group_id", "block_key"], "norm_name")
+    return band_pairs.union(block_pairs).distinct() \
+        .withColumnRenamed("pa", "norm_a").withColumnRenamed("pb", "norm_b")
+
+
+def score_pairs(entities: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Apply the linking decision rule JVM-side; returns accepted alias pairs
+    as (group_id, uuid_a, uuid_b).
+
+    Decision (== textcore.should_link): abbreviation alias OR
+    (shingle-Jaccard >= 0.35 AND embedding-cosine >= 0.6). Exact normalized
+    matches were already collapsed by ``distinct_entities``.
+    """
+    emb = udfs.embed_entities(entities.filter(~F.col("is_dynamic")))
+    attrs = (
+        entities.filter(~F.col("is_dynamic"))
+        .select("group_id", "norm_name", "ext_uuid")
+        .join(emb, ["group_id", "norm_name"])
+        .withColumn("shingles", _shingle_col(F.col("norm_name")))
+        .withColumn("tokens", F.split("norm_name", " "))
+    )
+    a = attrs.select(
+        "group_id", F.col("norm_name").alias("norm_a"), F.col("ext_uuid").alias("uuid_a"),
+        F.col("name_embedding").alias("emb_a"), F.col("shingles").alias("sh_a"),
+        F.col("tokens").alias("tok_a"))
+    b = attrs.select(
+        "group_id", F.col("norm_name").alias("norm_b"), F.col("ext_uuid").alias("uuid_b"),
+        F.col("name_embedding").alias("emb_b"), F.col("shingles").alias("sh_b"),
+        F.col("tokens").alias("tok_b"))
+    scored = (
+        pairs
+        .join(a, ["group_id", "norm_a"])
+        .join(b, ["group_id", "norm_b"])
+        .withColumn("jac",
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("cos",
+                    F.aggregate(F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        .withColumn("len_a", F.aggregate(F.transform("tok_a", F.length),
+                                         F.lit(0), lambda acc, v: acc + v))
+        .withColumn("len_b", F.aggregate(F.transform("tok_b", F.length),
+                                         F.lit(0), lambda acc, v: acc + v))
+        .withColumn(
+            "abbrev",
+            (F.size("tok_a") == F.size("tok_b"))
+            & (F.element_at("tok_a", 1) == F.element_at("tok_b", 1))
+            & F.when(
+                F.col("len_a") <= F.col("len_b"),
+                F.forall(F.zip_with("tok_a", "tok_b", lambda s, l: l.startswith(s)),
+                         lambda x: x),
+            ).otherwise(
+                F.forall(F.zip_with("tok_b", "tok_a", lambda s, l: l.startswith(s)),
+                         lambda x: x),
+            ),
+        )
+        .withColumn(
+            "linked",
+            F.col("abbrev")
+            | ((F.col("jac") >= F.lit(LINK_JACCARD_THRESHOLD))
+               & (F.col("cos") >= F.lit(LINK_COSINE_THRESHOLD))),
+        )
+    )
+    return scored.filter("linked").select("group_id", "uuid_a", "uuid_b")

@@ -1,0 +1,243 @@
+"""The end-to-end KG-construction DAG.
+
+Batch restatement of the reference lifecycle (SURVEY.md §3.1/§3.2,
+/root/reference/graphiti_core/graphiti.py:189-437 and
+bulk_processor.py:518-663): the per-episode async loop becomes seven
+whole-corpus DataFrame stages —
+
+  pages ─ html→text UDF (byte-identity asserted)
+        ├─ mention-detection UDF ─ distinct entities ─ LSH blocking
+        │        ─ salted pair scoring ─ connected components ─ nodes
+        ├─ triple-extraction UDF ─ name→uuid join ─ pointer resolution
+        │        ─ edge dedup + provenance merge ─ bi-temporal window pass
+        │        ─ edges + edge_invalidations
+        └─ mentions, episodes, previous-instance chains
+
+All outputs are plain DataFrames; ``kgspark.io`` persists them partitioned
+by group_id with per-partition lineage for checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark import cc, dedup, linking, temporal, udfs
+
+
+def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
+                check_text: bool = True,
+                compute_embeddings: bool = True) -> dict[str, DataFrame]:
+    """Run the full construction DAG. Returns the output tables
+    (FIXTURES.md §2 schemas): nodes, edges, mentions, episodes,
+    edge_invalidations, previous_instance_edges, alias_map, plus
+    text_mismatches when ``check_text``.
+    """
+    if batch_ts is None:
+        batch_ts = datetime(2025, 1, 1)
+
+    pages = pages.select("url", "group_id", "warc_ts", "html", "text", "lang")
+
+    out: dict[str, DataFrame] = {}
+
+    # stage 0: html -> text, byte-identity per url (input_hint invariant)
+    if check_text:
+        recomputed = udfs.extract_text(pages)
+        out["text_mismatches"] = (
+            pages.join(recomputed, "url")
+            .filter(F.col("text") != F.col("text_extracted"))
+            .select("url")
+        )
+
+    # stage 1: mention detection (vectorized)
+    mentions_raw = udfs.extract_mentions(pages)
+
+    # stage 2: entity linking
+    entities = linking.distinct_entities(mentions_raw)
+    entities = entities.localCheckpoint()  # reused by 4 downstream stages
+    pairs = linking.candidate_pairs(entities)
+    alias_pairs = linking.score_pairs(entities, pairs)
+    mapping = cc.connected_components(alias_pairs)  # ext_uuid -> canonical
+    out["alias_map"] = mapping
+
+    # stage 3: canonical nodes table (nodes.py:78-86,287-292 schema)
+    canon_entities = (
+        cc.resolve_pointers(entities.withColumn("uuid", F.col("ext_uuid")),
+                            mapping, ["uuid"])
+    )
+    node_rows = (
+        canon_entities
+        .groupBy("group_id", "uuid")
+        .agg(
+            F.max(F.struct("n_mentions",
+                           F.length("name").alias("l"),
+                           F.col("name").alias("n"),
+                           F.col("label").alias("lb"))).alias("rep"),
+            F.min("first_seen").alias("created_at"),
+            F.sum("n_mentions").alias("n_mentions"),
+            F.array_sort(F.collect_set("label")).alias("labels_raw"),
+        )
+        .select(
+            "uuid",
+            F.col("rep.n").alias("name"),
+            "group_id",
+            F.array_sort(F.array_union(F.col("labels_raw"),
+                                       F.array(F.lit("Entity")))).alias("labels"),
+            "created_at",
+            F.concat_ws(" ", F.col("rep.n"), F.lit("is a"), F.col("rep.lb"),
+                        F.lit("mentioned in"), F.col("n_mentions"),
+                        F.lit("pages")).alias("summary"),
+            F.create_map(F.lit("entity_type"), F.col("rep.lb"),
+                         F.lit("mention_count"),
+                         F.col("n_mentions").cast("string")).alias("attributes"),
+            F.col("rep.n").alias("rep_name"),
+        )
+    )
+    if compute_embeddings:
+        emb = udfs.embed_entities(
+            node_rows.select("group_id", F.col("rep_name").alias("name"),
+                             udfs.norm_name_col(F.col("rep_name")).alias("norm_name")))
+        nodes = (
+            node_rows
+            .withColumn("norm_name", udfs.norm_name_col(F.col("rep_name")))
+            .join(emb, ["group_id", "norm_name"], "left")
+            .drop("rep_name", "norm_name")
+        )
+    else:
+        nodes = node_rows.withColumn(
+            "name_embedding", F.lit(None).cast("array<float>")).drop("rep_name")
+    out["nodes"] = nodes
+
+    # stage 4: MENTIONS table (edges.py:81-96)
+    mention_keyed = (
+        mentions_raw
+        .withColumn("norm_name", udfs.norm_name_col(F.col("name")))
+        .withColumn("ext_uuid", F.md5(F.concat_ws(
+            "|", F.lit("ent"), F.col("group_id"), F.col("norm_name"))))
+    )
+    mentions = (
+        cc.resolve_pointers(mention_keyed.withColumn("node_uuid", F.col("ext_uuid")),
+                            mapping, ["node_uuid"])
+        .select(
+            F.md5(F.concat_ws("|", F.lit("mention"), F.col("url"),
+                              F.col("node_uuid"))).alias("uuid"),
+            F.col("url").alias("episode_uuid"),
+            "node_uuid", "group_id",
+            F.col("warc_ts").alias("created_at"),
+        )
+        .dropDuplicates(["uuid"])
+    )
+    out["mentions"] = mentions
+
+    # stage 5: PREVIOUS_INSTANCE chains for recurring dynamic events
+    # (node_operations.py:56-64,379-394): same base name (date stripped),
+    # ordered by first_seen; each instance points at its predecessor.
+    dyn = (
+        entities.filter(F.col("is_dynamic"))
+        .withColumn("base", F.trim(F.regexp_replace(
+            F.col("norm_name"), r"\d{4} \d{2} \d{2}", " ")))
+        .withColumn("base", F.regexp_replace("base", " +", " "))
+    )
+    from pyspark.sql import Window
+    wdyn = Window.partitionBy("group_id", "base").orderBy("first_seen", "ext_uuid")
+    prev_inst = (
+        dyn
+        .withColumn("prev_uuid", F.lag("ext_uuid").over(wdyn))
+        .withColumn("prev_name", F.lag("name").over(wdyn))
+        .filter(F.col("prev_uuid").isNotNull())
+        .select(
+            F.md5(F.concat_ws("|", F.lit("previnst"), F.col("group_id"),
+                              F.col("ext_uuid"), F.col("prev_uuid"))).alias("uuid"),
+            F.col("ext_uuid").alias("source_node_uuid"),
+            F.col("prev_uuid").alias("target_node_uuid"),
+            F.lit("PREVIOUS_INSTANCE").alias("name"),
+            F.concat_ws(" ", F.col("name"), F.lit("is a recurrence of"),
+                        F.col("prev_name")).alias("fact"),
+            "group_id",
+            F.col("first_seen").alias("created_at"),
+        )
+    )
+    out["previous_instance_edges"] = prev_inst
+
+    # stage 6: triples -> canonical endpoints -> dedup -> temporal pass
+    triples_raw = udfs.extract_triples(pages)
+    ent_key = entities.select(
+        "group_id", "norm_name", F.col("ext_uuid"))
+    triples_keyed = (
+        triples_raw
+        .withColumn("norm_subj", udfs.norm_name_col(F.col("subject")))
+        .withColumn("norm_obj", udfs.norm_name_col(F.col("object")))
+        # name -> uuid resolution is a join on (group, normalized name)
+        # (replaces the per-episode dict at edge_operations.py:84,129-135);
+        # AQE broadcasts the entity side when it fits, else sort-merge.
+        .join(ent_key.withColumnRenamed("norm_name", "norm_subj")
+              .withColumnRenamed("ext_uuid", "src_uuid"),
+              ["group_id", "norm_subj"])
+        .join(ent_key.withColumnRenamed("norm_name", "norm_obj")
+              .withColumnRenamed("ext_uuid", "dst_uuid"),
+              ["group_id", "norm_obj"])
+    )
+    triples_canon = cc.resolve_pointers(triples_keyed, mapping,
+                                        ["src_uuid", "dst_uuid"])
+    edges_merged = dedup.dedup_edges(triples_canon)
+    edges_resolved, invalidations = temporal.temporal_pass(edges_merged, batch_ts)
+
+    if compute_embeddings:
+        edge_emb = udfs.embed_entities(
+            edges_resolved.select("group_id",
+                                  F.col("norm_fact").alias("norm_name"),
+                                  F.col("fact").alias("name"))
+        ).withColumnRenamed("name_embedding", "fact_embedding") \
+         .withColumnRenamed("norm_name", "norm_fact") \
+         .dropDuplicates(["group_id", "norm_fact"])
+        edges_resolved = edges_resolved.join(edge_emb, ["group_id", "norm_fact"], "left")
+    else:
+        edges_resolved = edges_resolved.withColumn(
+            "fact_embedding", F.lit(None).cast("array<float>"))
+
+    edges = (
+        edges_resolved
+        .select(
+            "uuid",
+            F.col("src_uuid").alias("source_node_uuid"),
+            F.col("dst_uuid").alias("target_node_uuid"),
+            F.col("predicate").alias("name"),
+            "fact", "group_id", "episodes", "created_at",
+            "valid_at", "invalid_at", "expired_at", "fact_embedding",
+        )
+    )
+    out["edges"] = edges
+    out["edge_invalidations"] = invalidations
+
+    # stage 7: episodes table (EpisodicNode, nodes.py:133-149) with
+    # entity_edges back-references (graphiti.py:383-385)
+    edge_refs = (
+        edges.select("uuid", F.explode("episodes").alias("url"))
+        .groupBy("url")
+        .agg(F.array_sort(F.collect_set("uuid")).alias("entity_edges"))
+    )
+    episodes = (
+        pages.join(edge_refs, "url", "left")
+        .select(
+            F.col("url").alias("uuid"),
+            F.col("url").alias("name"),
+            "group_id",
+            F.lit("text").alias("source"),
+            F.lit("web crawl").alias("source_description"),
+            F.col("text").alias("content"),
+            F.col("warc_ts").alias("valid_at"),
+            F.col("warc_ts").alias("created_at"),
+            F.coalesce("entity_edges", F.array().cast("array<string>")).alias("entity_edges"),
+            "lang",
+        )
+    )
+    out["episodes"] = episodes
+    return out
+
+
+def graph_stats(out: dict[str, DataFrame]) -> dict[str, Any]:
+    return {k: out[k].count() for k in
+            ("nodes", "edges", "mentions", "edge_invalidations")}

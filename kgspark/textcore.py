@@ -1,0 +1,515 @@
+"""Pure-Python deterministic extraction core (no Spark imports).
+
+All datetimes are tz-naive and mean UTC (the Spark session runs with
+spark.sql.session.timeZone=UTC; reference normalization:
+graphiti_core/utils/datetime_utils.py:20-42).
+
+This module is the single source of truth for every per-row transformation in
+the KG-construction pipeline:
+
+- ``html_to_text``       : byte-identical HTML -> text extraction
+- ``extract_mentions``   : entity mention detection (analog of the reference's
+  LLM node-extraction contract, /root/reference/graphiti_core/prompts/
+  extract_nodes.py:65-176 and utils/maintenance/node_operations.py:148-265)
+- ``extract_triples``    : (subj, pred_CAPS, obj, fact) extraction (analog of
+  prompts/extract_edges.py:27-105, edge_operations.py:73-148)
+- ``parse_dates``        : explicit/relative date phrase -> (valid_at,
+  invalid_at), defaulting valid_at to the reference timestamp for
+  present-tense facts (rules of prompts/extract_edge_dates.py:77-87)
+- ``normalize_name`` / ``name_shingles`` / ``hash_embedding`` : the
+  deterministic analog of the embedder (dim 1024,
+  graphiti_core/embedder/client.py:22)
+- contradiction tables    : deterministic analog of the LLM contradiction
+  classifier (prompts/invalidate_edges.py, temporal_operations.py:71-103)
+
+Both the Spark pipeline (through vectorized Arrow UDFs) and the
+single-process oracle (kgspark/oracle.py) call these functions, so any
+divergence between them is attributable to the distributed plan, never to the
+per-row logic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+# ---------------------------------------------------------------------------
+# HTML -> text (hand-rolled, deterministic; SURVEY.md §7.3 risk 4)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RE = re.compile(r"<script\b[^>]*>.*?</script>", re.IGNORECASE | re.DOTALL)
+_STYLE_RE = re.compile(r"<style\b[^>]*>.*?</style>", re.IGNORECASE | re.DOTALL)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+# Block-level tags become newlines so sentences on different lines never fuse.
+_BLOCK_TAG_RE = re.compile(
+    r"</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|title|body|html|head)\b[^>]*>",
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+}
+
+_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+
+
+def _decode_entity(m: re.Match) -> str:
+    body = m.group(1)
+    if body.startswith("#x") or body.startswith("#X"):
+        try:
+            return chr(int(body[2:], 16))
+        except ValueError:
+            return m.group(0)
+    if body.startswith("#"):
+        try:
+            return chr(int(body[1:]))
+        except ValueError:
+            return m.group(0)
+    return _ENTITIES.get(body.lower(), m.group(0))
+
+
+def html_to_text(html: bytes | str) -> str:
+    """Deterministic tag-stripper + entity-decoder.
+
+    Contract (BASELINE.json input_hint): output is byte-identical per url
+    between the Spark UDF and the golden ``text`` column.
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub("", html)
+    s = _SCRIPT_RE.sub("", s)
+    s = _STYLE_RE.sub("", s)
+    s = _BLOCK_TAG_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    s = _ENTITY_RE.sub(_decode_entity, s)
+    # collapse intra-line whitespace, drop blank lines, join with '\n'
+    lines = []
+    for raw in s.split("\n"):
+        line = re.sub(r"[ \t\r\f\v]+", " ", raw).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Mention detection
+# ---------------------------------------------------------------------------
+
+# Months/weekday words are capitalized inside date phrases but are never
+# entities (rule 5 of prompts/extract_nodes.py:94 — no date nodes).
+_STOPWORDS = {
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
+    "Sunday", "I", "The", "A", "An",
+}
+
+# Dynamic-event name keywords — analog of DYNAMIC_EVENT_LABELS
+# (node_operations.py:56-62). A dynamic event never merges with a previous
+# instance; it links to it via PREVIOUS_INSTANCE (node_operations.py:64,379-394).
+DYNAMIC_KEYWORDS = {"Outage", "Incident", "Blocker", "Discrepancy", "Dip"}
+
+_ISO_DATE = r"\d{4}-\d{2}-\d{2}"
+# Title-Case word sequences, optionally ending in an ISO date (event names).
+_MENTION_RE = re.compile(
+    rf"\b((?:[A-Z][a-zA-Z0-9]*)(?:\s+(?:[A-Z][a-zA-Z0-9]*|{_ISO_DATE}))*)\b"
+)
+_SPEAKER_RE = re.compile(r"^([a-z][a-z0-9_]{2,}):\s")
+_HAS_DATE_RE = re.compile(_ISO_DATE)
+
+
+def classify_name(name: str) -> str:
+    """Deterministic entity-type classifier (analog of the LLM classifier,
+    node_operations.py:206-234 — dictionary/keyword classification)."""
+    toks = name.split()
+    if _HAS_DATE_RE.search(name) or (toks and toks[0] in DYNAMIC_KEYWORDS):
+        return "DynamicEvent"
+    if re.fullmatch(r"[a-z][a-z0-9_]{2,}", name):
+        return "Person"  # speaker handle
+    if toks[-1] == "Campaign":
+        return "Campaign"
+    if toks[-1] == "Team":
+        return "Team"
+    if toks[-1] == "City":
+        return "Place"
+    if len(toks) >= 2:
+        return "Person"
+    return "Organization"
+
+
+@dataclass(frozen=True)
+class Mention:
+    name: str
+    label: str
+    start: int  # char offset within the sentence
+
+
+def split_sentences(text: str) -> list[str]:
+    """Split on '.', newline-safe. Entity names never contain '.'."""
+    out = []
+    for line in text.split("\n"):
+        for part in re.split(r"\.\s*", line):
+            part = part.strip()
+            if part:
+                out.append(part)
+    return out
+
+
+def extract_mentions(text: str) -> list[Mention]:
+    """Detect entity mentions in one page's text.
+
+    Mirrors the reference extraction rules (prompts/extract_nodes.py:89-102):
+    speaker-first for message rows, Title-Case named entities, dynamic events
+    kept unique by embedded date, no bare-date/month nodes.
+    """
+    seen: set[str] = set()
+    mentions: list[Mention] = []
+    offset = 0
+    for sent in split_sentences(text):
+        m = _SPEAKER_RE.match(sent)
+        if m:
+            h = m.group(1)
+            if h not in seen:
+                seen.add(h)
+                mentions.append(Mention(h, "Person", offset))
+        for mt in _MENTION_RE.finditer(sent):
+            name = mt.group(1)
+            toks = name.split()
+            # strip leading/trailing stopwords (months leak in from phrases
+            # like 'since March 1, 2024' -> single-token 'March')
+            while toks and toks[0] in _STOPWORDS:
+                toks = toks[1:]
+            while toks and toks[-1] in _STOPWORDS:
+                toks = toks[:-1]
+            if not toks:
+                continue
+            name = " ".join(toks)
+            if len(toks) == 1 and len(name) < 3:
+                continue  # single initials / stray capitals are noise
+            if name not in seen:
+                seen.add(name)
+                mentions.append(Mention(name, classify_name(name), offset + mt.start()))
+        offset += len(sent) + 2
+    return mentions
+
+
+# ---------------------------------------------------------------------------
+# Triple extraction
+# ---------------------------------------------------------------------------
+
+# Verb lexicon: surface phrase -> RELATION_TYPE_IN_CAPS
+# (contract of prompts/extract_edges.py:27-31 — CAPS predicate, both endpoints
+# must be extracted entities).
+VERB_LEXICON: list[tuple[str, str]] = [
+    ("no longer works for", "LEFT_JOB"),
+    ("collaborates with", "COLLABORATES_WITH"),
+    ("participates in", "PARTICIPATES_IN"),
+    ("works for", "WORKS_FOR"),
+    ("moved to", "LIVES_IN"),
+    ("lives in", "LIVES_IN"),
+    ("applied to", "APPLIED_TO"),
+    ("dislikes", "DISLIKES"),
+    ("likes", "LIKES"),
+    ("sponsors", "SPONSORS"),
+    ("features", "FEATURES"),
+    ("manages", "MANAGES"),
+    ("reports", "REPORTS_ISSUE"),
+    ("resolves", "RESOLVES_ISSUE"),
+    ("left", "LEFT_JOB"),
+]
+
+_VERB_ALTS = "|".join(re.escape(p) for p, _ in sorted(VERB_LEXICON, key=lambda x: -len(x[0])))
+_VERB_MAP = dict(VERB_LEXICON)
+
+# Point-in-time event predicates: they CLOSE conflicting state facts but are
+# never themselves closed (reference semantics arise from the LLM classifier;
+# see test_temporal_operations_int.py WORKS_FOR->LEFT_JOB scenario).
+EVENT_PREDICATES = {"LEFT_JOB", "REPORTS_ISSUE", "RESOLVES_ISSUE", "APPLIED_TO"}
+
+# Pair-scoped contradiction classes: two facts on the SAME unordered node pair
+# whose predicates share a class contradict (analog of the LLM call in
+# temporal_operations.py:71-103 judged over edges of the same endpoints).
+CONTRA_PAIR_CLASSES: dict[str, str] = {
+    "LIKES": "affinity",
+    "DISLIKES": "affinity",
+    "WORKS_FOR": "employment",
+    "LEFT_JOB": "employment",
+}
+
+# Subject-functional predicates: a newer fact (same subject, same predicate,
+# different object) supersedes the older one — e.g. moving cities, changing
+# employer.
+FUNCTIONAL_PREDICATES = {"LIVES_IN", "WORKS_FOR", "MANAGES"}
+
+
+@dataclass(frozen=True)
+class Triple:
+    subject: str
+    predicate: str
+    object: str
+    fact: str
+    valid_at: datetime | None
+    invalid_at: datetime | None
+    explicit_dates: bool  # True when a date phrase was parsed from the text
+
+
+_MONTHS = {
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
+    "june": 6, "july": 7, "august": 8, "september": 9, "october": 10,
+    "november": 11, "december": 12,
+}
+
+_LONG_DATE = r"(?:January|February|March|April|May|June|July|August|September|October|November|December) \d{1,2}, \d{4}"
+_DATE_ALT = rf"(?:{_LONG_DATE}|{_ISO_DATE})"
+_FROM_TO_RE = re.compile(rf"\bfrom ({_DATE_ALT}) to ({_DATE_ALT})")
+_SINCE_RE = re.compile(rf"\b(?:since|starting) ({_DATE_ALT})")
+_ON_RE = re.compile(rf"\bon ({_DATE_ALT})")
+_UNTIL_RE = re.compile(rf"\buntil ({_DATE_ALT})")
+_REL_RE = re.compile(r"\b(yesterday|last week|last month)\b")
+
+
+def _parse_date_token(tok: str) -> datetime:
+    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", tok)
+    if m:
+        return datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    m = re.fullmatch(r"([A-Za-z]+) (\d{1,2}), (\d{4})", tok)
+    if m:
+        return datetime(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+    raise ValueError(tok)
+
+
+def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datetime | None, bool]:
+    """Date-phrase parser (deterministic analog of extract_edge_dates,
+    temporal_operations.py:32-68; rules prompts/extract_edge_dates.py:77-87).
+
+    Returns (valid_at, invalid_at, explicit). Present-tense default
+    (valid_at = reference timestamp) is applied by the caller via
+    ``coalesce(valid_at, warc_ts)`` so the default is visible in the plan.
+    """
+    m = _FROM_TO_RE.search(sentence)
+    if m:
+        return _parse_date_token(m.group(1)), _parse_date_token(m.group(2)), True
+    valid: datetime | None = None
+    invalid: datetime | None = None
+    explicit = False
+    m = _SINCE_RE.search(sentence) or _ON_RE.search(sentence)
+    if m:
+        valid = _parse_date_token(m.group(1))
+        explicit = True
+    m = _UNTIL_RE.search(sentence)
+    if m:
+        invalid = _parse_date_token(m.group(1))
+        explicit = True
+    if valid is None:
+        m = _REL_RE.search(sentence)
+        if m:
+            day0 = datetime(ref_ts.year, ref_ts.month, ref_ts.day)
+            delta = {"yesterday": 1, "last week": 7, "last month": 30}[m.group(1)]
+            valid = day0 - timedelta(days=delta)
+            explicit = True
+    return valid, invalid, explicit
+
+
+def extract_triples(text: str, ref_ts: datetime) -> list[Triple]:
+    """Extract (subject, PREDICATE, object, fact) triples from one page.
+
+    Only emits facts between detected mentions (rule 1 of
+    prompts/extract_edges.py:79-82); relation types in CAPS (rule 3);
+    the fact is the full sentence (rule 4).
+    """
+    triples: list[Triple] = []
+    for sent in split_sentences(text):
+        body = _SPEAKER_RE.sub("", sent)
+        sent_mentions = extract_mentions(body)
+        if len(sent_mentions) < 2:
+            continue
+        by_start = sorted(sent_mentions, key=lambda m: m.start)
+        for a, b in zip(by_start, by_start[1:]):
+            between = body[a.start + len(a.name): b.start].strip()
+            between = re.sub(r"^(?:the\s+)", "", between)
+            pred = _VERB_MAP.get(between)
+            if pred is None:
+                continue
+            if a.name == b.name:
+                continue  # self-loop drop (bulk_utils.py:385-386)
+            valid_at, invalid_at, explicit = parse_dates(body, ref_ts)
+            triples.append(
+                Triple(a.name, pred, b.name, sent.strip() + ".", valid_at, invalid_at, explicit)
+            )
+    return triples
+
+
+# ---------------------------------------------------------------------------
+# Normalization / similarity / embeddings
+# ---------------------------------------------------------------------------
+
+def normalize_name(name: str) -> str:
+    return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", name.lower())).strip()
+
+
+def normalize_fact(fact: str) -> str:
+    """Fact-dedup key: lowercase, strip punctuation AND date phrases so the
+    same assertion restated with/without its date phrase merges
+    (edge_operations.py:151-192 LLM dedup analog)."""
+    s = fact
+    for rx in (_FROM_TO_RE, _SINCE_RE, _ON_RE, _UNTIL_RE, _REL_RE):
+        s = rx.sub(" ", s)
+    return normalize_name(s)
+
+
+def name_shingles(name: str, k: int = 3) -> list[str]:
+    """Character k-shingles of the normalized name, for MinHash-LSH blocking."""
+    n = normalize_name(name)
+    padded = f"^{n}$"
+    if len(padded) <= k:
+        return [padded]
+    return sorted({padded[i: i + k] for i in range(len(padded) - k + 1)})
+
+
+def _stable_hash(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+EMBED_DIM = 1024  # reference embedder dim (graphiti_core/embedder/client.py:22)
+
+
+def hash_embedding(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic feature-hashing embedding (EmbedderClient analog,
+    SURVEY.md §2.9): token + char-3-gram features, signed hashing trick,
+    L2-normalized."""
+    vec = [0.0] * dim
+    n = normalize_name(text)
+    feats = n.split() + name_shingles(text)
+    for f in feats:
+        h = _stable_hash(f)
+        idx = h % dim
+        sign = 1.0 if (h >> 62) & 1 else -1.0
+        vec[idx] += sign
+    norm = sum(v * v for v in vec) ** 0.5
+    if norm == 0:
+        return vec
+    return [v / norm for v in vec]
+
+
+def cosine(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    da = sum(x * x for x in a) ** 0.5
+    db = sum(y * y for y in b) ** 0.5
+    if da == 0 or db == 0:
+        return 0.0
+    return num / (da * db)
+
+
+def jaccard(a: list[str], b: list[str]) -> float:
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# Linking thresholds (min_score 0.6 analog of search_utils.py:50 used by the
+# dedup candidate search, get_relevant_nodes search_utils.py:638-676)
+LINK_JACCARD_THRESHOLD = 0.35
+LINK_COSINE_THRESHOLD = 0.60
+
+
+def is_abbreviation_pair(a: str, b: str) -> bool:
+    """'priya sharma' vs 'priya s' style alias detection: same first token,
+    every later token of the shorter is a prefix of the longer's."""
+    ta, tb = normalize_name(a).split(), normalize_name(b).split()
+    if not ta or not tb or ta[0] != tb[0]:
+        return False
+    if len(ta) != len(tb):
+        return False
+    short, long_ = (ta, tb) if sum(map(len, ta)) <= sum(map(len, tb)) else (tb, ta)
+    return all(l.startswith(s) for s, l in zip(short, long_))
+
+
+def should_link(name_a: str, name_b: str) -> bool:
+    """The single linking decision rule shared by oracle and Spark pipeline:
+    exact normalized match, abbreviation alias, or shingle-Jaccard + embedding
+    cosine above thresholds. Dynamic events NEVER link (they chain via
+    PREVIOUS_INSTANCE instead — node_operations.py:56-64,379-394)."""
+    na, nb = normalize_name(name_a), normalize_name(name_b)
+    if classify_name(name_a) == "DynamicEvent" or classify_name(name_b) == "DynamicEvent":
+        return False
+    if na == nb:
+        return True
+    if is_abbreviation_pair(name_a, name_b):
+        return True
+    if jaccard(name_shingles(name_a), name_shingles(name_b)) >= LINK_JACCARD_THRESHOLD:
+        return cosine(hash_embedding(name_a), hash_embedding(name_b)) >= LINK_COSINE_THRESHOLD
+    return False
+
+
+def dynamic_event_base(name: str) -> str:
+    """Base name of a dynamic event with its date token removed, used to chain
+    recurrences via PREVIOUS_INSTANCE."""
+    return normalize_name(_HAS_DATE_RE.sub(" ", name))
+
+
+# MinHash-LSH banding (blocking for the entity-linking similarity self-join,
+# analog of the fulltext/vector candidate search get_relevant_nodes,
+# search_utils.py:638-676). The SAME band keys are computed by the Spark
+# pipeline (vectorized, kgspark/udfs.py) and the oracle, so candidate
+# generation is bit-identical on both sides.
+
+MINHASH_ROWS = 3    # r: signature rows per band
+MINHASH_BANDS = 32  # b: bands; P(catch | jaccard=0.5) = 1-(1-0.5^3)^32 ≈ 0.99
+
+
+def minhash_band_keys(name: str, rows: int = MINHASH_ROWS, bands: int = MINHASH_BANDS) -> list[str]:
+    """LSH band keys for a name: md5-seeded minhash over char shingles,
+    ``bands`` keys of ``rows`` minima each."""
+    sh = name_shingles(name)
+    keys = []
+    for b in range(bands):
+        sig = []
+        for r in range(rows):
+            i = b * rows + r
+            sig.append(min(_stable_hash(f"mh{i}|{s}") for s in sh))
+        keys.append(f"b{b}|" + md5_hex("|".join(map(str, sig)))[:16])
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# Deterministic ids
+# ---------------------------------------------------------------------------
+
+def md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def entity_uuid(group_id: str, name: str) -> str:
+    return md5_hex(f"ent|{group_id}|{normalize_name(name)}")
+
+
+def edge_uuid(group_id: str, src: str, pred: str, dst: str, norm_fact: str) -> str:
+    return md5_hex(f"edge|{group_id}|{src}|{pred}|{dst}|{norm_fact}")
+
+
+def mention_uuid(url: str, node_uuid: str) -> str:
+    return md5_hex(f"mention|{url}|{node_uuid}")
+
+
+def contradiction_keys(subject_uuid: str, predicate: str, object_uuid: str) -> list[str]:
+    """All contradiction-scope keys one fact participates in. Two facts
+    contradict iff they share a key (and, for pair scope, their predicates
+    share a class; for functional scope, their objects differ — the caller
+    filters). Used identically by the batch window pass and the oracle."""
+    keys = []
+    cls = CONTRA_PAIR_CLASSES.get(predicate)
+    if cls is not None:
+        lo, hi = sorted([subject_uuid, object_uuid])
+        keys.append(f"pair|{cls}|{lo}|{hi}")
+    if predicate in FUNCTIONAL_PREDICATES:
+        keys.append(f"subj|{predicate}|{subject_uuid}")
+    return keys

@@ -1,0 +1,163 @@
+"""Vectorized (Arrow-batched) UDF stages wrapping the pure extraction core.
+
+Every LLM stage of the reference becomes one ``mapInPandas`` /``pandas_udf``
+projection here (SURVEY.md §2.2): one Arrow batch = many pages, no per-row
+Python UDFs anywhere in the pipeline (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark import textcore as tc
+
+# ---------------------------------------------------------------------------
+# html -> text  (reference: the episode `content` ingest, graphiti.py:189-258)
+# ---------------------------------------------------------------------------
+
+TEXT_DDL = "url string, text_extracted string"
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Recompute text from raw html. The pipeline asserts byte-identity with
+    the golden ``text`` column per url (input_hint invariant)."""
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "text_extracted": [tc.html_to_text(h) for h in pdf["html"]],
+            })
+
+    return pages.select("url", "html").mapInPandas(run, TEXT_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Mention detection  (node_operations.py:148-265 contract)
+# ---------------------------------------------------------------------------
+
+MENTIONS_DDL = ("url string, group_id string, warc_ts timestamp, "
+                "name string, label string")
+
+
+def extract_mentions(pages: DataFrame) -> DataFrame:
+    def run(batches):
+        for pdf in batches:
+            out = {"url": [], "group_id": [], "warc_ts": [], "name": [], "label": []}
+            for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
+                                          pdf["warc_ts"], pdf["text"]):
+                for m in tc.extract_mentions(text):
+                    out["url"].append(url)
+                    out["group_id"].append(gid)
+                    out["warc_ts"].append(ts)
+                    out["name"].append(m.name)
+                    out["label"].append(m.label)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "group_id", "warc_ts", "text").mapInPandas(run, MENTIONS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Triple extraction + date parsing
+# (edge_operations.py:73-148 + temporal_operations.py:32-68 contracts)
+# ---------------------------------------------------------------------------
+
+TRIPLES_DDL = ("url string, group_id string, warc_ts timestamp, "
+               "subject string, predicate string, object string, fact string, "
+               "valid_at_explicit timestamp, invalid_at_explicit timestamp, "
+               "explicit_dates boolean, norm_fact string")
+
+
+def extract_triples(pages: DataFrame) -> DataFrame:
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
+                                          pdf["warc_ts"], pdf["text"]):
+                ref = ts.to_pydatetime()
+                for t in tc.extract_triples(text, ref):
+                    rows.append((url, gid, ts, t.subject, t.predicate, t.object,
+                                 t.fact, t.valid_at, t.invalid_at,
+                                 t.explicit_dates, tc.normalize_fact(t.fact)))
+            yield pd.DataFrame(rows, columns=[
+                "url", "group_id", "warc_ts", "subject", "predicate", "object",
+                "fact", "valid_at_explicit", "invalid_at_explicit",
+                "explicit_dates", "norm_fact"])
+
+    return pages.select("url", "group_id", "warc_ts", "text").mapInPandas(run, TRIPLES_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings + LSH band keys (EmbedderClient analog + blocking;
+# embedder/client.py:22, search_utils.py:638-676)
+# ---------------------------------------------------------------------------
+
+def _embed_unique(names: pd.Series) -> pd.Series:
+    """Memoized per-batch embedding: distinct names only (the LLM-diskcache
+    analog of llm_client/client.py:116-151 — dedup before expensive work)."""
+    uniq = {n: tc.hash_embedding(n) for n in pd.unique(names)}
+    return names.map(uniq)
+
+
+EMBED_DDL = "group_id string, norm_name string, name_embedding array<float>"
+BANDS_DDL = "group_id string, norm_name string, band_key string"
+
+
+def embed_entities(entities: DataFrame) -> DataFrame:
+    """(group_id, norm_name, name) -> name_embedding array<float> (dim 1024)."""
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "group_id": pdf["group_id"],
+                "norm_name": pdf["norm_name"],
+                "name_embedding": _embed_unique(pdf["name"]),
+            })
+
+    return entities.select("group_id", "norm_name", "name").mapInPandas(run, EMBED_DDL)
+
+
+def entity_band_keys(entities: DataFrame) -> DataFrame:
+    """Explode each entity into its MinHash-LSH band keys (blocking keys for
+    the linking self-join). Same function as the oracle -> identical blocks."""
+
+    def run(batches):
+        for pdf in batches:
+            uniq = {n: tc.minhash_band_keys(n) for n in pd.unique(pdf["name"])}
+            out = {"group_id": [], "norm_name": [], "band_key": []}
+            for gid, nn, name in zip(pdf["group_id"], pdf["norm_name"], pdf["name"]):
+                for k in uniq[name]:
+                    out["group_id"].append(gid)
+                    out["norm_name"].append(nn)
+                    out["band_key"].append(k)
+            yield pd.DataFrame(out)
+
+    return entities.select("group_id", "norm_name", "name").mapInPandas(run, BANDS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Pair scoring (the dedup decision, node_operations.py:268-415 analog)
+# ---------------------------------------------------------------------------
+
+def should_link_udf():
+    """Lazily-built pandas UDF (needs an active session): boolean
+    should_link(name_a, name_b) — kept for ad-hoc parity checks; the
+    pipeline itself scores pairs JVM-side (kgspark/linking.py)."""
+
+    @F.pandas_udf("boolean")
+    def _udf(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
+        return pd.Series([tc.should_link(a, b) for a, b in zip(name_a, name_b)])
+
+    return _udf
+
+
+# JVM-side normalized name (must match textcore.normalize_name exactly;
+# asserted by tests/test_udf_parity.py)
+def norm_name_col(col):
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "))

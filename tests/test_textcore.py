@@ -1,0 +1,93 @@
+"""Unit tests for the pure extraction core (kgspark/textcore.py).
+
+Covers the contracts ported from the reference test strategy (SURVEY.md §5):
+html→text byte determinism, mention rules, triple extraction rules, date
+parsing (explicit / relative / span / present-tense default), linking rule.
+"""
+
+from datetime import datetime
+
+from kgspark import textcore as tc
+
+
+def test_html_to_text_strips_and_decodes():
+    html = ("<html><head><title>snap</title><script>var a=1;</script>"
+            "<style>.x{}</style></head><body><!-- c -->"
+            "<p>Alpha &amp; Beta&#39;s   page.</p><p>second line</p></body></html>")
+    assert tc.html_to_text(html) == "snap\nAlpha & Beta's page.\nsecond line"
+
+
+def test_html_to_text_bytes_identical():
+    html = "<p>café &#x41;</p>".encode("utf-8")
+    assert tc.html_to_text(html) == "café A"
+
+
+def test_mentions_speaker_first_and_stopwords():
+    text = "priya_sharma: Priya Sharma works for Glowco since March 1, 2024."
+    names = [m.name for m in tc.extract_mentions(text)]
+    assert names[0] == "priya_sharma"  # speaker-first rule
+    assert "Priya Sharma" in names and "Glowco" in names
+    assert "March" not in names  # no date/month nodes
+
+
+def test_mentions_dynamic_event_with_date():
+    ms = tc.extract_mentions("Rahul Mehta reports Outage 2024-03-05.")
+    by = {m.name: m.label for m in ms}
+    assert by["Outage 2024-03-05"] == "DynamicEvent"
+    assert by["Rahul Mehta"] == "Person"
+
+
+def test_triples_caps_predicates_between_entities_only():
+    ref = datetime(2024, 3, 5)
+    ts = tc.extract_triples("Alice Wong likes Glowco. the dashboard was slow.", ref)
+    assert len(ts) == 1
+    t = ts[0]
+    assert (t.subject, t.predicate, t.object) == ("Alice Wong", "LIKES", "Glowco")
+    assert t.predicate == t.predicate.upper()
+
+
+def test_triples_self_loop_dropped():
+    ref = datetime(2024, 3, 5)
+    assert tc.extract_triples("Glowco likes Glowco.", ref) == []
+
+
+def test_date_parse_explicit_and_span():
+    ref = datetime(2024, 3, 5, 12)
+    v, i, ex = tc.parse_dates("x works for y since March 1, 2024", ref)
+    assert (v, i, ex) == (datetime(2024, 3, 1), None, True)
+    v, i, ex = tc.parse_dates("a features b from January 1, 2024 to January 31, 2024", ref)
+    assert v == datetime(2024, 1, 1) and i == datetime(2024, 1, 31) and ex
+
+
+def test_date_parse_relative_vs_reference():
+    # relative → absolute against reference ts (extract_edge_dates rule 2)
+    ref = datetime(2024, 3, 5, 12)
+    v, _, ex = tc.parse_dates("they met yesterday", ref)
+    assert v == datetime(2024, 3, 4) and ex
+
+
+def test_date_present_tense_defaults_via_caller():
+    # rule 3: no phrase → caller defaults valid_at to reference ts
+    ref = datetime(2024, 3, 5, 12)
+    ts = tc.extract_triples("Alice Wong likes Glowco.", ref)
+    assert ts[0].valid_at is None and not ts[0].explicit_dates
+
+
+def test_linking_rule():
+    assert tc.should_link("Priya Sharma", "Priya Sh")      # abbreviation
+    assert tc.should_link("Priya Sharma", "priya_sharma")  # norm-equal
+    assert not tc.should_link("Priya Sharma", "Rahul Mehta")
+    # dynamic events never merge (node_operations.py:56-64)
+    assert not tc.should_link("Outage 2024-03-05", "Outage 2024-04-09")
+
+
+def test_contradiction_keys():
+    ks = tc.contradiction_keys("u1", "WORKS_FOR", "u2")
+    assert any(k.startswith("pair|employment|") for k in ks)
+    assert any(k.startswith("subj|WORKS_FOR|u1") for k in ks)
+    assert tc.contradiction_keys("u1", "SPONSORS", "u2") == []
+
+
+def test_ids_deterministic():
+    assert tc.entity_uuid("g1", "Priya Sharma") == tc.entity_uuid("g1", "priya  sharma")
+    assert tc.entity_uuid("g1", "X") != tc.entity_uuid("g2", "X")
