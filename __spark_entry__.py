@@ -98,6 +98,31 @@ def q_kg_previous_instances(spark, sf_dir):
     return _kg(spark)["previous_instance_edges"]
 
 
+def q_kg_communities(spark, sf_dir):
+    from kgspark.communities import build_communities
+    out = _kg(spark)
+    return build_communities(out["nodes"], out["edges"])["communities"]
+
+
+def q_kg_bfs(spark, sf_dir):
+    # 2-hop BFS from the most-mentioned node (search_utils.py:274-326)
+    from kgspark import search as ks
+    out = _kg(spark)
+    top = (out["mentions"].groupBy("node_uuid").count()
+           .orderBy(F.desc("count"), "node_uuid").limit(1).collect()[0]["node_uuid"])
+    return ks.bfs_nodes(out["edges"], [top], depth=2).orderBy("uuid")
+
+
+def q_kg_hybrid_search(spark, sf_dir):
+    # hybrid fulltext ∪ cosine → RRF over the nodes table (search.py:73-157)
+    from kgspark import search as ks
+    from kgspark.pipeline import build_graph
+    from kgspark.datagen import pages_spark
+    out = build_graph(pages_spark(spark, 120), check_text=False)
+    return ks.hybrid_search(out["nodes"], "name", "name_embedding",
+                            "Priya Sharma", ks.NODE_HYBRID_SEARCH_RRF)
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / joins / top-k (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
@@ -416,6 +441,66 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_quality_score(spark, sf_dir):
+    from kgspark import datapipe as dp
+    d = _t(spark, sf_dir, "documents")
+    q = dp.quality_score(d)
+    return q.select(
+        F.col("doc_id"), "n_chars", "n_tokens", "n_unique_tokens",
+        F.round("type_token_ratio", 4).alias("ttr"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_token_counts(spark, sf_dir):
+    from kgspark import datapipe as dp
+    return dp.token_counts(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_lang_id_multi(spark, sf_dir):
+    from kgspark import datapipe as dp
+    return dp.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    from kgspark import datapipe as dp
+    return dp.rolling_fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_simhash_docs(spark, sf_dir):
+    # 64-bit SimHash (vectorized Arrow UDF) — not SQL-expressible in DuckDB
+    from kgspark import datapipe as dp
+    return dp.simhash(_t(spark, sf_dir, "documents")).orderBy("id")
+
+
+def q_embedding_neardups(spark, sf_dir):
+    # hyperplane-LSH blocked cosine near-dup pairs — rows-only check
+    from kgspark import datapipe as dp
+    emb = _t(spark, sf_dir, "embeddings")
+    # driver embeddings are near-random; 0.5 keeps the check non-trivial
+    return dp.embedding_neardups(emb, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # LSH-bucketed ANN (approximate; rows-only — compare vs ann_cosine_topk)
+    from kgspark import datapipe as dp
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return dp.ann_lsh(emb.filter("vec_id <> 0"), list(qv), k=10,
+                      probe_hamming=6)
+
+
+def q_multimodal_features(spark, sf_dir):
+    # multimodal plumbing: binary column -> feature rows (decode stubbed,
+    # Spark contract real); binary payload derived from documents text
+    from kgspark import datapipe as dp
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.encode(F.col("text"), "utf-8").alias("blob"))
+    return dp.extract_image_features(d, "id", "blob").orderBy("id")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     # brute-force cosine top-k over the embeddings table (similarity search
     # baseline; edge_similarity_search analog, search_utils.py:197-271)
@@ -447,6 +532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_invalidations": q_kg_invalidations,
         "kg_previous_instances": q_kg_previous_instances,
+        "kg_communities": q_kg_communities,
+        "kg_bfs": q_kg_bfs,
+        "kg_hybrid_search": q_kg_hybrid_search,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "regional_revenue": q_regional_revenue,
@@ -469,6 +557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": q_neardup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "lang_id_multi": q_lang_id_multi,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "simhash_docs": q_simhash_docs,
+        "embedding_neardups": q_embedding_neardups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -694,5 +790,58 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "quality_score": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+                     len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))
+                         AS n_unique_tokens,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+              FROM documents)
+            SELECT doc_id, n_chars, n_tokens, n_unique_tokens,
+                   round(n_unique_tokens / greatest(n_tokens, 1), 4) AS ttr,
+                   round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round(n_digit / greatest(n_chars, 1), 4) AS digit_ratio
+            FROM t ORDER BY doc_id
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(string_split_regex(text, '\s+')) AS whitespace_tokens,
+                   len(regexp_extract_all(text, '[a-z0-9]+')) AS word_tokens,
+                   coalesce(list_sum(list_transform(
+                       regexp_extract_all(text, '[a-z0-9]+'),
+                       t -> cast(ceil(length(t) / 4.0) AS INT))), 0)
+                       AS bpe_ish_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id_multi": r"""
+            WITH ev AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\b(a|and|in|is|of|that|the|to)\b')) AS ev_en,
+                     len(regexp_extract_all(text, '\b(de|el|en|es|la|que|un|y)\b')) AS ev_es,
+                     len(regexp_extract_all(text, '\b(das|der|die|ein|ist|und|von|zu)\b')) AS ev_de
+              FROM documents)
+            SELECT doc_id, ev_de, ev_en, ev_es,
+                   CASE WHEN b.n > 0 THEN b.lang ELSE 'und' END AS lang_pred
+            FROM ev, LATERAL (
+              SELECT n, lang FROM (VALUES (ev_de, 'de'), (ev_en, 'en'),
+                                          (ev_es, 'es')) t(n, lang)
+              ORDER BY n DESC, lang DESC LIMIT 1) b(n, lang)
+            ORDER BY doc_id
+        """,
+        "rolling_fingerprint": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                         i -> md5(array_to_string(toks[i:i+7], ' '))) AS sh
+              FROM t)
+            SELECT doc_id, list_aggregate(sh, 'min') AS fingerprint,
+                   len(list_distinct(sh)) AS n_shingles
+            FROM s ORDER BY doc_id
         """,
     }

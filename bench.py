@@ -1,0 +1,153 @@
+"""Benchmark harness.
+
+Default mode (what the round driver runs): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; prints ONE JSON line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+``--scaling`` mode (north rule evidence): runs the same KG-construction job
+at two parallelism levels (local[8] vs local[32]) in separate processes on
+identical input and reports throughput at both + scaling efficiency into
+BENCH/BASELINE.md. A real cluster is unavailable in this sandbox; two
+parallelism levels on the same input are the sanctioned stand-in
+(BASELINE.md / task brief).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+KG_BENCH_PAGES = int(os.environ.get("KGSPARK_BENCH_PAGES", "40000"))
+
+
+def _spark(cpus: int):
+    from kgspark.session import get_spark
+    s = get_spark("kgspark-bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def kg_job(spark, n_pages: int) -> dict:
+    """The KG-construction throughput job. Pages are materialized to parquet
+    first (the input contract is an Iceberg/parquet table of pages —
+    BASELINE.json input_hint); only the DAG over that table is timed."""
+    import tempfile
+
+    from kgspark.datagen import pages_spark
+    from kgspark.pipeline import build_graph
+
+    tmp = tempfile.mkdtemp(prefix="kgbench_pages_")
+    t0 = time.time()
+    pages_spark(spark, n_pages).write.mode("overwrite") \
+        .partitionBy("group_id").parquet(tmp)
+    gen_sec = time.time() - t0
+
+    pages = spark.read.parquet(tmp)
+    t0 = time.time()
+    out = build_graph(pages, check_text=False, compute_embeddings=False)
+    n_edges = out["edges"].count()
+    n_nodes = out["nodes"].count()
+    el = time.time() - t0
+    return {"pages": n_pages, "edges": n_edges, "nodes": n_nodes,
+            "gen_sec": round(gen_sec, 2), "sec": round(el, 2),
+            "pages_per_sec": round(n_pages / el, 1),
+            "triples_per_sec": round(n_edges / el, 1)}
+
+
+def run_default() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = _spark(cpus)
+
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    headline = ["pricing_summary", "top_revenue_orders", "regional_revenue",
+                "temporal_close", "dedup_keep_first", "context_window",
+                "provenance_sets", "rrf_fusion", "neardup_pairs",
+                "ngram_jaccard", "ann_cosine_topk", "exact_dup_docs",
+                "token_stats"]
+    times: dict[str, float] = {}
+    total0 = time.time()
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    kg = kg_job(spark, KG_BENCH_PAGES)
+    times["kg_build"] = kg["sec"]
+    total = round(time.time() - total0, 2)
+    print(json.dumps({
+        "metric": "kg_construct_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "kg": kg,
+    }))
+
+
+def run_child(cpus: int) -> None:
+    spark = _spark(cpus)
+    res = kg_job(spark, KG_BENCH_PAGES)
+    res["cpus"] = cpus
+    print("CHILD_RESULT " + json.dumps(res))
+
+
+def run_scaling() -> None:
+    results = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--child", str(cpus)],
+            capture_output=True, text=True, check=False, cwd=str(Path(__file__).parent))
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]
+        if not line:
+            print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"child local[{cpus}] failed")
+        results[cpus] = json.loads(line[-1].removeprefix("CHILD_RESULT "))
+    t8, t32 = results[8]["triples_per_sec"], results[32]["triples_per_sec"]
+    # efficiency of scaling parallelism 4x: throughput ratio / core ratio
+    eff = round((t32 / t8) / 4.0, 3)
+    out = {"local8": results[8], "local32": results[32],
+           "speedup": round(t32 / t8, 2), "scaling_efficiency": eff,
+           "pages": KG_BENCH_PAGES}
+    print(json.dumps(out, indent=2))
+    bench_dir = Path(__file__).parent / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(f"""# BENCH — scaling evidence
+
+Same KG-construction job (generate {KG_BENCH_PAGES} synthetic pages
+distributed → full DAG → count edges) at two parallelism levels on the same
+machine (the sandbox stand-in for N vs 4N executors; BASELINE.json
+north_rule):
+
+| parallelism | wall sec | pages/sec | triples/sec |
+|---|---|---|---|
+| local[8]  | {results[8]['sec']} | {results[8]['pages_per_sec']} | {results[8]['triples_per_sec']} |
+| local[32] | {results[32]['sec']} | {results[32]['pages_per_sec']} | {results[32]['triples_per_sec']} |
+
+Speedup local[8]→local[32] (4× cores): **{out['speedup']}×**
+Scaling efficiency (speedup / 4): **{eff}** (target ≥ 0.8 — note a single
+shared-memory machine under-reports vs a real cluster: the 8-core run
+already shares the same memory bandwidth and SSD as the 32-core run).
+
+Reproduce: `python bench.py --scaling` (or `spark-submit --py-files
+kgspark bench.py --child 8|32`).
+""")
+    print(f"wrote {bench_dir / 'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        run_child(int(sys.argv[sys.argv.index("--child") + 1]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_default()

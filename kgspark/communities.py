@@ -1,0 +1,140 @@
+"""Community detection: graph projection + synchronous label propagation.
+
+Batch restatement of /root/reference/graphiti_core/utils/maintenance/
+community_operations.py:
+
+- graph projection (:55-147): per-entity neighbor + edge-multiplicity
+  weights over RELATES_TO within a group → one adjacency aggregate (the
+  reference itself notes the single-query form at :99-104);
+- label_propagation (:150-212): synchronous LP — every node adopts the
+  argmax of weight-summed neighbor labels, ties broken by the LOWEST label
+  (deterministic, :186-191), ≤10 iterations; here each iteration is one
+  join + window-rank pass over the adjacency DataFrame, checkpointed to cut
+  lineage;
+- build_communities (:215-322): clusters with >1 member become community
+  nodes + HAS_MEMBER edges (edge_operations.py:55-70) with a deterministic
+  template name/summary standing in for the LLM summarizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_LP_ITERATIONS = 10
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """Undirected weighted adjacency from the edges table:
+    (group_id, a, b, weight = multiplicity of RELATES_TO edges)."""
+    fwd = edges.select("group_id", F.col("source_node_uuid").alias("a"),
+                       F.col("target_node_uuid").alias("b"))
+    rev = edges.select("group_id", F.col("target_node_uuid").alias("a"),
+                       F.col("source_node_uuid").alias("b"))
+    return (fwd.union(rev)
+            .groupBy("group_id", "a", "b")
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def label_propagation(adj: DataFrame,
+                      max_iterations: int = MAX_LP_ITERATIONS) -> DataFrame:
+    """(group_id, uuid, community_id). community_id is the converged label
+    (a node uuid — lexicographic ids give the same deterministic tie-break
+    as the reference's integer ids)."""
+    adj = adj.localCheckpoint()
+    labels = (adj.select("group_id", F.col("a").alias("uuid")).distinct()
+              .withColumn("label", F.col("uuid")))
+    for _ in range(max_iterations):
+        nbr = (
+            adj.join(labels.select(F.col("uuid").alias("b"), "group_id",
+                                   F.col("label").alias("nbr_label")),
+                     ["group_id", "b"])
+            .groupBy("group_id", "a", "nbr_label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        w = Window.partitionBy("group_id", "a").orderBy(F.desc("w"), F.asc("nbr_label"))
+        best = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("group_id", F.col("a").alias("uuid"),
+                    F.col("nbr_label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(best, ["group_id", "uuid"], "left")
+            .select("group_id", "uuid",
+                    F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"),
+                            ["group_id", "uuid"])
+            .filter(F.col("label") != F.col("old")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("group_id", "uuid", F.col("label").alias("community_id"))
+
+
+def build_communities(nodes: DataFrame, edges: DataFrame) -> dict[str, DataFrame]:
+    """Returns {"communities": CommunityNode table,
+    "community_members": HAS_MEMBER edge table}. Only clusters with more
+    than one member materialize (community_operations.py:139-144)."""
+    labels = label_propagation(adjacency(edges))
+    sized = labels.withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("group_id", "community_id")))
+    members = labels.join(
+        sized.filter(F.col("csize") > 1)
+        .select("group_id", "community_id").distinct(),
+        ["group_id", "community_id"])
+
+    named = (
+        members.join(nodes.select(F.col("uuid"), F.col("name"),
+                                  F.col("group_id")), ["group_id", "uuid"])
+        .groupBy("group_id", "community_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            # deterministic name: top member names, sorted (summary template
+            # replaces the LLM CommunitySummaryAndName contract,
+            # prompts/summarize_nodes.py:152-209; member cap 50 analog)
+            F.slice(F.array_sort(F.collect_list("name")), 1, 5).alias("top_names"),
+        )
+        .select(
+            F.md5(F.concat_ws("|", F.lit("comm"), F.col("group_id"),
+                              F.col("community_id"))).alias("uuid"),
+            "group_id", "community_id", "n_members",
+            F.concat_ws(", ", F.col("top_names")).alias("name"),
+            F.concat_ws(" ", F.lit("Community of"), F.col("n_members"),
+                        F.lit("entities:"),
+                        F.concat_ws(", ", F.col("top_names"))).alias("summary"),
+        )
+    )
+    member_edges = (
+        members
+        .select(
+            F.md5(F.concat_ws("|", F.lit("has_member"), F.col("group_id"),
+                              F.col("community_id"), F.col("uuid"))).alias("uuid"),
+            F.md5(F.concat_ws("|", F.lit("comm"), F.col("group_id"),
+                              F.col("community_id"))).alias("community_uuid"),
+            F.col("uuid").alias("node_uuid"),
+            "group_id",
+        )
+    )
+    return {"communities": named, "community_members": member_edges}
+
+
+def entity_community(labels: DataFrame, adj: DataFrame) -> DataFrame:
+    """Incremental-attach analog (determine_entity_community,
+    community_operations.py:343-387): a node's community = mode of its
+    neighbors' communities, ties to the lowest id."""
+    nbr = (
+        adj.join(labels.select(F.col("uuid").alias("b"), "group_id",
+                               F.col("community_id").alias("c")),
+                 ["group_id", "b"])
+        .groupBy("group_id", "a", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("group_id", "a").orderBy(F.desc("n"), F.asc("c"))
+    return (nbr.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("group_id", F.col("a").alias("uuid"),
+                    F.col("c").alias("community_id")))

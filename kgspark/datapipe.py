@@ -1,0 +1,410 @@
+"""Large-scale training-data pipeline operators over document / embedding
+tables (task brief: first-class components alongside SURVEY.md §2).
+
+Everything here is built scale-first: LSH-style blocking before any pairwise
+work, bounded block sizes with explicit caps (logged, never silent),
+JVM-side expressions in the hot path, numpy-vectorized Arrow UDFs only for
+bit-twiddling (simhash) and sketching (hyperplane signatures).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+DEFAULT_BAND_CAP = 20  # near-dup candidate blocks larger than this are dropped
+
+
+def _toks(col):
+    return F.expr(f"regexp_extract_all({col}, '{TOKEN_RE}', 0)")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with the
+    kept (minimum) id and the duplicate count."""
+    return (docs.withColumn("text_hash", F.md5(text_col))
+            .groupBy("text_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("keep_id")))
+
+
+def minhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_seeds: int = 4) -> DataFrame:
+    """md5-seeded minhash signature over the distinct token set (same hash
+    family as entity-linking LSH, kgspark/textcore.py)."""
+    toks = F.array_distinct(_toks(text_col))
+    cols = [F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"s{i}|"), t))))
+            .alias(f"mh{i}") for i in range(n_seeds)]
+    return docs.select(F.col(id_col).alias("id"), *cols)
+
+
+def neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n_seeds: int = 4,
+                  band_cap: int = DEFAULT_BAND_CAP) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs: docs sharing any band.
+    Bands larger than ``band_cap`` are dropped (explicit coverage cap — a
+    giant band means boilerplate-identical content better handled by
+    exact_dedup; the cap is a parameter, not a silent truncation)."""
+    fp = minhash_fingerprints(docs, id_col, text_col, n_seeds)
+    pairs = None
+    for i in range(n_seeds):
+        side = fp.select("id", F.col(f"mh{i}").alias("band"))
+        sizes = side.groupBy("band").agg(F.count(F.lit(1)).alias("bc"))
+        bounded = side.join(
+            sizes.filter((F.col("bc") >= 2) & (F.col("bc") <= band_cap)), "band")
+        a = bounded.select("band", F.col("id").alias("id_a"))
+        b = bounded.select("band", F.col("id").alias("id_b"))
+        p = (a.join(b, "band").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        pairs = p if pairs is None else pairs.union(p)
+    return pairs.distinct()
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Token-set Jaccard for candidate pairs (exact rescore after LSH)."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(F.array_distinct(_toks(text_col))).alias("tok"))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs
+        .join(toks.withColumnRenamed("id", "id_a"), "id_a")
+        .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("tok", "tok2"), "id_b")
+        .filter(F.col("tok") == F.col("tok2"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (inter
+            .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .select("id_a", "id_b",
+                    (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                    .alias("jaccard")))
+
+
+SIMHASH_DDL = "id long, simhash long"
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token md5s — numpy-vectorized Arrow UDF (the
+    bit-twiddling exception to JVM-side-first)."""
+    import hashlib
+    import re as _re
+
+    def run(batches):
+        tok_re = _re.compile(TOKEN_RE)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in set(tok_re.findall(text)):
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big")
+                    bits = np.fromiter(((h >> j) & 1 for j in range(64)),
+                                       dtype=np.int64, count=64)
+                    acc += 2 * bits - 1
+                sig = 0
+                for j in range(64):
+                    if acc[j] > 0:
+                        sig |= 1 << j
+                # wrap into signed 64-bit (Spark LongType)
+                out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(run, SIMHASH_DDL)
+
+
+def simhash_neardups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", prefix_bits: int = 16,
+                     max_hamming: int = 3,
+                     band_cap: int = DEFAULT_BAND_CAP) -> DataFrame:
+    """SimHash near-dups: block on the top ``prefix_bits`` of the signature,
+    exact Hamming distance within blocks."""
+    sh = simhash(docs, id_col, text_col)
+    blocked = sh.withColumn(
+        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("bc"))
+    bounded = blocked.join(
+        sizes.filter((F.col("bc") >= 2) & (F.col("bc") <= band_cap)), "block")
+    a = bounded.select("block", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = bounded.select("block", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cos_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                            lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0),
+                            lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def ann_bruteforce(emb: DataFrame, query_vec: list[float], k: int = 10,
+                   id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k — the correctness baseline (and the rescore stage
+    of the LSH variant)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (emb.select(F.col(id_col).alias("id"),
+                       F.col(emb_col).cast("array<double>").alias("v"))
+            .withColumn("cos", _cos_expr(F.col("v"), q))
+            .select("id", "cos")
+            .orderBy(F.desc("cos"), "id")
+            .limit(k))
+
+
+HYPERPLANE_DDL = "id long, bucket string"
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (md5-seeded, no RNG state)."""
+    import hashlib
+    rows = []
+    for p in range(n_planes):
+        vals = []
+        counter = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"hp|{seed}|{p}|{counter}".encode()).digest()
+            vals.extend(b - 127.5 for b in h)
+            counter += 1
+        rows.append(vals[:dim])
+    m = np.array(rows, dtype=np.float64)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def hyperplane_buckets(emb: DataFrame, n_planes: int = 12,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection bucket per vector (numpy-vectorized per Arrow
+    batch): the LSH blocking stage for cosine similarity at scale."""
+
+    def run(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[emb_col].to_numpy())
+            if planes is None:
+                planes = _hyperplanes(m.shape[1], n_planes)
+            signs = (m @ planes.T) > 0
+            buckets = ["".join("1" if s else "0" for s in row) for row in signs]
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": buckets})
+
+    return emb.select(id_col, emb_col).mapInPandas(run, HYPERPLANE_DDL)
+
+
+def ann_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
+            n_planes: int = 12, probe_hamming: int = 2,
+            id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed ANN: candidates from buckets within ``probe_hamming``
+    sign-flips of the query bucket, exact cosine rescore. At 10^12 scale the
+    bucket column is a partition key, so a query prunes to a handful of
+    partitions instead of a full scan."""
+    buckets = hyperplane_buckets(emb, n_planes, id_col, emb_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(query_vec), n_planes)
+    qb = "".join("1" if s else "0" for s in (planes @ qv) > 0)
+    cand = (buckets
+            .withColumn("qh", F.lit(qb))
+            .withColumn(
+                "ham",
+                F.size(F.filter(
+                    F.zip_with(F.split("bucket", ""), F.split("qh", ""),
+                               lambda a, b: a != b),
+                    lambda x: x)))
+            .filter(F.col("ham") <= probe_hamming)
+            .select("id"))
+    sub = emb.join(cand, F.col(id_col) == cand["id"]).drop("id")
+    return ann_bruteforce(sub, query_vec, k, id_col, emb_col)
+
+
+def embedding_neardups(emb: DataFrame, threshold: float = 0.95,
+                       n_planes: int = 12, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       band_cap: int = 200) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-bucket blocking +
+    exact cosine rescore within buckets."""
+    b = hyperplane_buckets(emb, n_planes, id_col, emb_col)
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bc"))
+    bounded = b.join(sizes.filter((F.col("bc") >= 2) & (F.col("bc") <= band_cap)),
+                     "bucket")
+    vecs = emb.select(F.col(id_col).alias("id"),
+                      F.col(emb_col).cast("array<double>").alias("v"))
+    a = bounded.select("bucket", F.col("id").alias("id_a"))
+    bb = bounded.select("bucket", F.col("id").alias("id_b"))
+    return (a.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b"))
+            .join(vecs.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("v", "va"), "id_a")
+            .join(vecs.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("v", "vb"), "id_b")
+            .withColumn("cos", _cos_expr(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-evidence language ID (n-gram heuristic): per-language
+    stopword hit counts, argmax with deterministic tie-break."""
+    out = docs.select(id_col, text_col)
+    for lang, words in _STOPWORDS.items():
+        # sorted alternation: keeps the regex byte-identical to the DuckDB
+        # oracle so match counts agree across engines
+        pat = "\\\\b(" + "|".join(sorted(words)) + ")\\\\b"
+        out = out.withColumn(
+            f"ev_{lang}",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")))
+    evs = F.array(*[
+        F.struct(F.col(f"ev_{lang}").alias("n"), F.lit(lang).alias("lang"))
+        for lang in sorted(_STOPWORDS)])
+    best = F.array_max(evs)
+    return out.select(
+        id_col, *[f"ev_{lang}" for lang in _STOPWORDS],
+        F.when(best.getField("n") > 0, best.getField("lang"))
+        .otherwise(F.lit("und")).alias("lang_pred"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score: length,
+    token stats, punctuation/digit ratios, type-token ratio."""
+    toks = _toks(text_col)
+    n_chars = F.length(text_col)
+    n_toks = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_punct = F.length(F.regexp_replace(text_col, "[^.,;:!?]", ""))
+    n_digit = F.length(F.regexp_replace(text_col, "[^0-9]", ""))
+    return docs.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        (n_uniq / F.greatest(n_toks, F.lit(1))).alias("type_token_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_digit / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (F.when((n_toks >= 10) & (n_chars >= 80), 1.0).otherwise(0.0)
+         * (n_uniq / F.greatest(n_toks, F.lit(1)))).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish sub-token counting (word pieces approximated by
+    a split on 4-char boundaries of long tokens)."""
+    toks = _toks(text_col)
+    subtok = F.aggregate(
+        toks, F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4)).cast("int"))
+    return docs.select(
+        id_col,
+        F.size(F.split(text_col, "\\s+")).alias("whitespace_tokens"),
+        F.size(toks).alias("word_tokens"),
+        subtok.alias("bpe_ish_tokens"))
+
+
+def rolling_fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5 over each k-token
+    shingle, distinct mins kept (document fingerprinting for provenance)."""
+    toks = _toks(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - window + 1, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))))
+    return docs.select(
+        id_col,
+        F.array_min(shingles).alias("fingerprint"),
+        F.size(F.array_distinct(shingles)).alias("n_shingles"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (decode stubbed; Spark plumbing real — task brief)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_DDL = ("id long, n_bytes int, content_hash string, "
+                      "fake_width int, fake_height int, decode_status string")
+
+
+def extract_image_features(df: DataFrame, id_col: str, binary_col: str,
+                           use_real_decoder: bool = False) -> DataFrame:
+    """Image decode / feature-extract plumbing over an opaque binary column.
+
+    The decode itself is STUBBED (no image libs in this container): with
+    ``use_real_decoder=True`` it raises NotImplementedError at plan
+    execution; by default it emits a deterministic fake (md5-derived
+    dimensions) so the Spark-side contract — schema, Arrow batching, UDF
+    signature, partition behavior — is real and testable.
+    """
+    import hashlib
+
+    def run(batches):
+        for pdf in batches:
+            if use_real_decoder:
+                raise NotImplementedError(
+                    "real image decoding requires an image library not "
+                    "present in this environment; wire e.g. PIL here")
+            rows = {"id": [], "n_bytes": [], "content_hash": [],
+                    "fake_width": [], "fake_height": [], "decode_status": []}
+            for i, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob) if blob is not None else b""
+                h = hashlib.md5(b).hexdigest()
+                rows["id"].append(i)
+                rows["n_bytes"].append(len(b))
+                rows["content_hash"].append(h)
+                rows["fake_width"].append(int(h[:4], 16) % 1920 + 1)
+                rows["fake_height"].append(int(h[4:8], 16) % 1080 + 1)
+                rows["decode_status"].append("stub")
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(run, IMAGE_FEATURES_DDL)
+
+
+FRAME_SAMPLE_DDL = "id long, frame_index int, frame_hash string"
+
+
+def sample_frames(df: DataFrame, id_col: str, binary_col: str,
+                  n_frames: int = 3) -> DataFrame:
+    """Video frame-sampling plumbing (STUB decode): emits ``n_frames``
+    deterministic pseudo-frames per blob — the fan-out shape (1 row in,
+    N rows out via mapInPandas) matches a real ffmpeg-backed sampler."""
+    import hashlib
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"id": [], "frame_index": [], "frame_hash": []}
+            for i, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob) if blob is not None else b""
+                for fi in range(n_frames):
+                    rows["id"].append(i)
+                    rows["frame_index"].append(fi)
+                    rows["frame_hash"].append(
+                        hashlib.md5(b + bytes([fi])).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(run, FRAME_SAMPLE_DDL)

@@ -1,0 +1,118 @@
+"""Partitioned persistence + checkpoint-resume with per-partition lineage.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". ``group_id`` is the graph partition (the reference's
+graph-partition key, nodes.py:81, here the hash-bucket of the url domain) and
+every pipeline stage is group-scoped, so processing is sharded by group:
+
+- each output table lands at ``<base>/<table>/group_id=<g>/`` (parquet with
+  dynamic partition overwrite — the Iceberg ``overwritePartitions`` fallback;
+  no Iceberg runtime is available in this sandbox, but writes are idempotent
+  per partition so the semantics match MERGE/overwrite-partition);
+- a lineage record per (batch, group) at ``<base>/_lineage/`` captures row
+  counts per table, wall seconds, and batch id — the metrics manifest;
+- ``run_resumable`` anti-joins the group list against the lineage manifest
+  and only processes missing groups, in deterministic batches of
+  ``groups_per_batch`` (driver loop count = n_groups / batch, not n_rows —
+  at 10^12-doc scale groups are date×domain buckets, thousands not billions).
+
+Interrupting between batches and re-running resumes exactly where it left
+off; re-running a completed batch overwrites the same partition dirs with
+identical bytes (idempotent).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid as uuidlib
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark.pipeline import build_graph
+
+TABLES = ("nodes", "edges", "mentions", "episodes", "edge_invalidations",
+          "previous_instance_edges")
+
+
+def _lineage_dir(base: str) -> Path:
+    return Path(base) / "_lineage"
+
+
+def completed_groups(base: str) -> set[str]:
+    d = _lineage_dir(base)
+    if not d.exists():
+        return set()
+    out = set()
+    for f in d.glob("group=*.json"):
+        out.add(json.loads(f.read_text())["group_id"])
+    return out
+
+
+def write_tables(out: dict[str, DataFrame], base: str) -> dict[str, int]:
+    """Write each output table partitioned by group_id (dynamic overwrite:
+    only the partitions present in the batch are replaced)."""
+    counts = {}
+    for t in TABLES:
+        if t not in out:
+            continue
+        df = out[t]
+        (df.write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("group_id")
+           .parquet(str(Path(base) / t)))
+        counts[t] = -1  # filled by caller if it wants exact counts
+    return counts
+
+
+def _record_lineage(base: str, group_id: str, batch_id: str,
+                    counts: dict[str, int], seconds: float) -> None:
+    d = _lineage_dir(base)
+    d.mkdir(parents=True, exist_ok=True)
+    rec = {"group_id": group_id, "batch_id": batch_id,
+           "counts": counts, "seconds": round(seconds, 2),
+           "written_at": datetime.now().isoformat()}
+    tmp = d / f".group={group_id}.tmp"
+    tmp.write_text(json.dumps(rec))
+    tmp.rename(d / f"group={group_id}.json")  # atomic publish
+
+
+def run_resumable(spark: SparkSession, pages: DataFrame, base: str,
+                  batch_ts: datetime | None = None,
+                  groups_per_batch: int = 8,
+                  compute_embeddings: bool = True) -> dict:
+    """Process only groups absent from the lineage manifest; one
+    ``build_graph`` per batch of groups, idempotent partition writes,
+    lineage record per group. Returns a summary dict."""
+    all_groups = sorted(r["group_id"] for r in
+                        pages.select("group_id").distinct().collect())
+    done = completed_groups(base)
+    todo = [g for g in all_groups if g not in done]
+    batch_id = uuidlib.uuid4().hex[:12]
+    summary = {"groups_total": len(all_groups), "groups_skipped": len(done),
+               "groups_processed": 0, "batch_id": batch_id}
+    for i in range(0, len(todo), groups_per_batch):
+        batch = todo[i: i + groups_per_batch]
+        t0 = time.time()
+        sub = pages.filter(F.col("group_id").isin(batch))
+        out = build_graph(sub, batch_ts, check_text=False,
+                          compute_embeddings=compute_embeddings)
+        write_tables(out, base)
+        el = time.time() - t0
+        # per-group metrics from the written data (cheap: partition-pruned)
+        for g in batch:
+            counts = {}
+            for t in ("nodes", "edges", "mentions"):
+                p = Path(base) / t / f"group_id={g}"
+                counts[t] = (spark.read.parquet(str(p)).count()
+                             if p.exists() else 0)
+            _record_lineage(base, g, batch_id, counts, el / len(batch))
+            summary["groups_processed"] += 1
+    return summary
+
+
+def read_table(spark: SparkSession, base: str, table: str) -> DataFrame:
+    return spark.read.parquet(str(Path(base) / table))

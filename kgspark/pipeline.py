@@ -52,8 +52,9 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
             .select("url")
         )
 
-    # stage 1: mention detection (vectorized)
-    mentions_raw = udfs.extract_mentions(pages)
+    # stage 1: mention detection (vectorized); checkpointed — feeds both the
+    # entity/linking path and the MENTIONS table
+    mentions_raw = udfs.extract_mentions(pages).localCheckpoint()
 
     # stage 2: entity linking
     entities = linking.distinct_entities(mentions_raw)

@@ -1,0 +1,228 @@
+"""Read-side search/retrieval operators over the graph tables.
+
+DataFrame restatements of /root/reference/graphiti_core/search/
+search_utils.py and search/search.py: BM25-style fulltext scoring, cosine
+similarity search, BFS traversal, RRF fusion, MMR, node-distance and
+mention-count rerankers, and the hybrid orchestrator (bm25 ∪ cosine → RRF →
+reranker), configured by lightweight recipes (search_config_recipes.py:31-202
+analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgspark import udfs
+
+DEFAULT_MIN_SCORE = 0.6   # search_utils.py:50
+DEFAULT_MMR_LAMBDA = 0.5  # search_utils.py:51
+MAX_SEARCH_DEPTH = 3      # search_utils.py:52
+
+
+# ---------------------------------------------------------------------------
+# fulltext (BM25-lite) — edge_fulltext_search / node_fulltext_search
+# (search_utils.py:143-194,329-373). Lucene is replaced by tokenized TF-IDF
+# scoring; the 32-term cap mirrors fulltext_query (search_utils.py:53-73).
+# ---------------------------------------------------------------------------
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def fulltext_search(df: DataFrame, text_col: str, query: str,
+                    limit: int = 20, group_ids: list[str] | None = None) -> DataFrame:
+    terms = [t for t in query.lower().split() if t][:32]
+    if group_ids:
+        df = df.filter(F.col("group_id").isin(group_ids))
+    toks = _tokens(F.col(text_col))
+    score = None
+    for t in terms:
+        s = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        score = s if score is None else score + s
+    return (df.withColumn("score", score.cast("double"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), "uuid")
+            .limit(limit))
+
+
+# ---------------------------------------------------------------------------
+# cosine similarity — edge/node/community_similarity_search
+# (search_utils.py:197-271,376-431,514-561)
+# ---------------------------------------------------------------------------
+
+def _cos(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, v: acc + v)
+    n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                            lambda acc, v: acc + v))
+    n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0),
+                            lambda acc, v: acc + v))
+    return dot / (n1 * n2)
+
+
+def similarity_search(df: DataFrame, emb_col: str, query_vec: list[float],
+                      limit: int = 20, min_score: float = DEFAULT_MIN_SCORE,
+                      group_ids: list[str] | None = None) -> DataFrame:
+    """Exact cosine top-k with score threshold. At 10^12 scale this is the
+    rescore stage after LSH/IVF blocking (kgspark/datapipe.py ann_*)."""
+    if group_ids:
+        df = df.filter(F.col("group_id").isin(group_ids))
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (df.filter(F.col(emb_col).isNotNull())
+            .withColumn("score", _cos(F.col(emb_col).cast("array<double>"), q))
+            .filter(F.col("score") > min_score)
+            .orderBy(F.desc("score"), "uuid")
+            .limit(limit))
+
+
+def search_text_query(query: str) -> list[float]:
+    """Embed a query with the same deterministic embedder used for names and
+    facts (EmbedderClient analog)."""
+    from kgspark.textcore import hash_embedding
+    return hash_embedding(query)
+
+
+# ---------------------------------------------------------------------------
+# BFS — edge_bfs_search / node_bfs_search (search_utils.py:274-326,434-475):
+# depth <= 3, unrolled as chained self-joins (no loop at plan time)
+# ---------------------------------------------------------------------------
+
+def bfs_nodes(edges: DataFrame, origin_uuids: list[str],
+              depth: int = MAX_SEARCH_DEPTH) -> DataFrame:
+    """Nodes reachable from the origins in <= depth RELATES_TO hops, with
+    their minimal hop distance."""
+    spark = edges.sparkSession
+    und = (edges.select(F.col("source_node_uuid").alias("a"),
+                        F.col("target_node_uuid").alias("b"))
+           .union(edges.select(F.col("target_node_uuid").alias("a"),
+                               F.col("source_node_uuid").alias("b")))
+           .distinct())
+    frontier = spark.createDataFrame([(u,) for u in origin_uuids], "uuid string") \
+        .withColumn("dist", F.lit(0))
+    seen = frontier
+    for d in range(1, depth + 1):
+        nxt = (frontier.join(und, frontier["uuid"] == und["a"])
+               .select(F.col("b").alias("uuid"))
+               .distinct()
+               .join(seen.select("uuid"), "uuid", "left_anti")
+               .withColumn("dist", F.lit(d)))
+        seen = seen.union(nxt).localCheckpoint()
+        frontier = nxt
+    return seen.groupBy("uuid").agg(F.min("dist").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# rerankers
+# ---------------------------------------------------------------------------
+
+def rrf(ranked: list[DataFrame], id_col: str = "uuid", limit: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion (search_utils.py:721-732): each input DF must
+    already be ordered; score[uuid] += 1/(rank+1)."""
+    parts = []
+    for df in ranked:
+        w = Window.orderBy(F.desc("score"), id_col) if "score" in df.columns \
+            else Window.orderBy(id_col)
+        parts.append(df.withColumn("rank", F.row_number().over(w))
+                     .select(id_col, "rank"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    return (u.groupBy(id_col)
+            .agg(F.sum(1.0 / (F.col("rank") + 1)).alias("rrf_score"))
+            .orderBy(F.desc("rrf_score"), id_col)
+            .limit(limit))
+
+
+def mention_count_rerank(candidates: DataFrame, mentions: DataFrame,
+                         limit: int = 20) -> DataFrame:
+    """episode_mentions_reranker (search_utils.py:775-799)."""
+    counts = mentions.groupBy("node_uuid").agg(F.count(F.lit(1)).alias("n_mentions"))
+    return (candidates.join(counts, candidates["uuid"] == counts["node_uuid"], "left")
+            .withColumn("n_mentions", F.coalesce("n_mentions", F.lit(0)))
+            .drop("node_uuid")
+            .orderBy(F.desc("n_mentions"), "uuid")
+            .limit(limit))
+
+
+def node_distance_rerank(candidates: DataFrame, edges: DataFrame,
+                         center_uuid: str, limit: int = 20) -> DataFrame:
+    """node_distance_reranker (search_utils.py:735-772): sort candidates by
+    BFS hop distance from the center; unreachable last."""
+    dists = bfs_nodes(edges, [center_uuid])
+    return (candidates.join(dists, "uuid", "left")
+            .withColumn("dist", F.coalesce("dist", F.lit(10 ** 9)))
+            .orderBy("dist", "uuid")
+            .limit(limit))
+
+
+def mmr_rerank(candidates: DataFrame, emb_col: str, query_vec: list[float],
+               lam: float = DEFAULT_MMR_LAMBDA, limit: int = 20) -> DataFrame:
+    """Maximal marginal relevance (search_utils.py:802-815):
+    lam*sim(query,c) - (1-lam)*max_sim(c, other candidates). Candidate sets
+    are small (post-retrieval), so the pairwise cross-join is bounded."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    base = candidates.filter(F.col(emb_col).isNotNull()).select(
+        "uuid", F.col(emb_col).cast("array<double>").alias("v"))
+    with_q = base.withColumn("qsim", _cos(F.col("v"), q))
+    other = base.select(F.col("uuid").alias("ouid"), F.col("v").alias("ov"))
+    pair_max = (
+        with_q.join(other, F.col("uuid") != F.col("ouid"))
+        .withColumn("psim", _cos(F.col("v"), F.col("ov")))
+        .groupBy("uuid").agg(F.max("psim").alias("max_other"))
+    )
+    return (with_q.join(pair_max, "uuid", "left")
+            .withColumn("mmr", lam * F.col("qsim")
+                        - (1 - lam) * F.coalesce("max_other", F.lit(0.0)))
+            .select("uuid", "mmr")
+            .orderBy(F.desc("mmr"), "uuid")
+            .limit(limit))
+
+
+# ---------------------------------------------------------------------------
+# hybrid orchestrator — search/search.py:73-157 + recipes
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SearchConfig:
+    """search_config.py:32-106 analog."""
+    limit: int = 20
+    min_score: float = DEFAULT_MIN_SCORE
+    reranker: str = "rrf"           # rrf | mmr | mention_count | node_distance
+    center_uuid: str | None = None
+    mmr_lambda: float = DEFAULT_MMR_LAMBDA
+
+
+EDGE_HYBRID_SEARCH_RRF = SearchConfig(reranker="rrf")
+NODE_HYBRID_SEARCH_RRF = SearchConfig(reranker="rrf")
+NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(reranker="node_distance")
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(reranker="mention_count")
+EDGE_HYBRID_SEARCH_MMR = SearchConfig(reranker="mmr")
+
+
+def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
+                  config: SearchConfig = EDGE_HYBRID_SEARCH_RRF,
+                  mentions: DataFrame | None = None,
+                  edges: DataFrame | None = None,
+                  group_ids: list[str] | None = None) -> DataFrame:
+    """bm25 ∪ cosine → dedup-by-uuid → reranker (search.py:189-238 shape)."""
+    qv = search_text_query(query)
+    ft = fulltext_search(df, text_col, query, config.limit * 2, group_ids)
+    sim = similarity_search(df, emb_col, qv, config.limit * 2,
+                            config.min_score, group_ids)
+    if config.reranker == "rrf":
+        return rrf([ft, sim], limit=config.limit)
+    merged = (ft.select("uuid").union(sim.select("uuid")).distinct()
+              .join(df, "uuid"))
+    if config.reranker == "mmr":
+        return mmr_rerank(merged, emb_col, qv, config.mmr_lambda, config.limit)
+    if config.reranker == "mention_count":
+        assert mentions is not None
+        return mention_count_rerank(merged.select("uuid"), mentions, config.limit)
+    if config.reranker == "node_distance":
+        assert edges is not None and config.center_uuid
+        return node_distance_rerank(merged.select("uuid"), edges,
+                                    config.center_uuid, config.limit)
+    raise ValueError(config.reranker)

@@ -1,0 +1,99 @@
+"""Training-data pipeline operators (dedup / similarity / text analysis /
+multimodal plumbing) over the driver-provided documents & embeddings tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import datapipe as dp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint()
+
+
+def test_exact_dedup(spark, docs):
+    out = dp.exact_dedup(docs)
+    assert out.count() <= docs.count()
+    assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+
+def test_neardup_and_jaccard(spark, docs):
+    pairs = dp.neardup_pairs(docs)
+    jac = dp.ngram_jaccard(docs, pairs)
+    assert jac.count() == pairs.count()
+    assert jac.filter((F.col("jaccard") < 0) | (F.col("jaccard") > 1)).count() == 0
+
+
+def test_simhash_selfconsistent(spark, docs):
+    sh = dp.simhash(docs.limit(50))
+    assert sh.count() == 50
+    # identical text -> identical simhash
+    two = docs.limit(1).union(docs.limit(1))
+    vals = [r["simhash"] for r in dp.simhash(two).collect()]
+    assert vals[0] == vals[1]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    brute = [r["id"] for r in dp.ann_bruteforce(
+        emb.filter("vec_id <> 0"), list(qv), k=10).collect()]
+    lsh = [r["id"] for r in dp.ann_lsh(
+        emb.filter("vec_id <> 0"), list(qv), k=10, probe_hamming=6).collect()]
+    # LSH is approximate: require decent overlap with brute force
+    assert len(set(brute) & set(lsh)) >= 5
+
+
+def test_embedding_neardups_bounded(spark, emb):
+    out = dp.embedding_neardups(emb, threshold=0.9)
+    assert out.filter("id_a >= id_b").count() == 0
+
+
+def test_language_id(spark, docs):
+    out = dp.language_id(docs)
+    assert out.count() == docs.count()
+    assert set(r["lang_pred"] for r in out.collect()) <= {"en", "es", "de", "und"}
+
+
+def test_quality_and_tokens(spark, docs):
+    q = dp.quality_score(docs).collect()
+    assert all(0 <= r["type_token_ratio"] <= 1 for r in q)
+    t = dp.token_counts(docs).collect()
+    assert all(r["bpe_ish_tokens"] >= r["word_tokens"] for r in t)
+
+
+def test_rolling_fingerprint(spark, docs):
+    out = dp.rolling_fingerprint(docs)
+    assert out.filter(F.col("fingerprint").isNull()).count() == 0
+
+
+def test_multimodal_stub_plumbing(spark):
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3],
+        "blob": [b"fake-image-bytes-1", b"fake-image-bytes-2", None],
+    })
+    df = spark.createDataFrame(pdf)
+    feats = dp.extract_image_features(df, "id", "blob").collect()
+    assert len(feats) == 3
+    by_id = {r["id"]: r for r in feats}
+    assert by_id[1]["fake_width"] >= 1 and by_id[1]["decode_status"] == "stub"
+    assert by_id[3]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["id"]: r["content_hash"]
+             for r in dp.extract_image_features(df, "id", "blob").collect()}
+    assert again[1] == by_id[1]["content_hash"]
+
+    frames = dp.sample_frames(df, "id", "blob", n_frames=3)
+    assert frames.count() == 9
+    # real-decoder path raises cleanly (documented stub)
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        dp.extract_image_features(df, "id", "blob", use_real_decoder=True).collect()
