@@ -17,13 +17,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MAX_ITERATIONS = 25
+MAX_ITERATIONS = 24
+BURST = 4  # propagation rounds between convergence checks
 
 
 def connected_components(pairs: DataFrame, src: str = "uuid_a", dst: str = "uuid_b",
                          max_iterations: int = MAX_ITERATIONS) -> DataFrame:
     """pairs(src, dst) -> mapping(uuid, canonical_uuid), only for vertices
     that appear in at least one pair (identity rows are implicit).
+
+    Rounds run in BURSTs of 4 between convergence checks: alias components
+    have tiny diameters, so one burst usually converges and the whole
+    canonicalization costs 2 Spark jobs (burst materialization + check)
+    instead of 2 per round — job-count, not data volume, is the scaling
+    bottleneck of driver-side iteration.
     """
     # undirected edge list, deduped
     edges = (
@@ -36,24 +43,29 @@ def connected_components(pairs: DataFrame, src: str = "uuid_a", dst: str = "uuid
     labels = edges.select(F.col("a").alias("v")).distinct() \
         .withColumn("label", F.col("v"))
 
-    for _ in range(max_iterations):
-        # candidate labels flowing across edges: min(neighbor labels, own)
+    def one_round(lbl: DataFrame) -> DataFrame:
         neighbor_labels = (
-            edges.join(labels.withColumnRenamed("v", "b"), "b")
+            edges.join(lbl.withColumnRenamed("v", "b"), "b")
             .select(F.col("a").alias("v"), "label")
         )
-        new_labels = (
-            labels.union(neighbor_labels)
-            .groupBy("v").agg(F.min("label").alias("label"))
-            .localCheckpoint()  # cut lineage each round
-        )
+        return (lbl.union(neighbor_labels)
+                .groupBy("v").agg(F.min("label").alias("label")))
+
+    rounds = 0
+    while rounds < max_iterations:
+        new_labels = labels
+        for _ in range(min(BURST, max_iterations - rounds)):
+            new_labels = one_round(new_labels)
+            rounds += 1
+        new_labels = new_labels.localCheckpoint()  # cut lineage per burst
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "v")
             .filter(F.col("label") != F.col("old"))
             .limit(1).count()
         )
+        converged = changed == 0
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
 
     return labels.select(F.col("v").alias("uuid"), F.col("label").alias("canonical_uuid"))

@@ -97,7 +97,28 @@ def _date_str(d: datetime) -> str:
     return d.strftime("%Y-%m-%d")
 
 
-def _page_sentences(i: int, n_pages: int, rng: random.Random) -> list[str]:
+def _misc_sentences(rng: random.Random, n_people: int, n_brands: int,
+                    count: int) -> list[str]:
+    s = []
+    for _ in range(count):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            s.append(f"{_brand(_zipf(rng, n_brands))} sponsors {_campaign(rng.randint(0, 40))}")
+        elif kind == 1:
+            s.append(f"{_person(_zipf(rng, n_people))} participates in {_campaign(rng.randint(0, 40))}")
+        elif kind == 2:
+            pa, pb = _zipf(rng, n_people), _zipf(rng, n_people)
+            if pa != pb:
+                s.append(f"{_person(pa)} collaborates with {_person(pb)}")
+        elif kind == 3:
+            s.append(f"{_person(_zipf(rng, n_people))} manages {_team(rng.randint(0, 5))}")
+        else:
+            s.append(f"{_campaign(rng.randint(0, 40))} features {_brand(_zipf(rng, n_brands))}")
+    return s
+
+
+def _page_sentences(i: int, n_pages: int, rng: random.Random,
+                    richness: int = 1) -> list[str]:
     sid = i // 10          # storyline id: roles r and r+5 share entities
     role = i % 10
     n_people = max(24, n_pages // 20)
@@ -130,20 +151,11 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random) -> list[str]:
         # duplicate fact via alias subject -> exercises linking + provenance merge
         s.append(f"{_person_alias(p)} likes {_brand(b)}")
     else:  # role 9: misc relations over Zipf-skewed hub entities
-        for _ in range(rng.randint(1, 3)):
-            kind = rng.randint(0, 4)
-            if kind == 0:
-                s.append(f"{_brand(_zipf(rng, n_brands))} sponsors {_campaign(rng.randint(0, 40))}")
-            elif kind == 1:
-                s.append(f"{_person(_zipf(rng, n_people))} participates in {_campaign(rng.randint(0, 40))}")
-            elif kind == 2:
-                pa, pb = _zipf(rng, n_people), _zipf(rng, n_people)
-                if pa != pb:
-                    s.append(f"{_person(pa)} collaborates with {_person(pb)}")
-            elif kind == 3:
-                s.append(f"{_person(_zipf(rng, n_people))} manages {_team(rng.randint(0, 5))}")
-            else:
-                s.append(f"{_campaign(rng.randint(0, 40))} features {_brand(_zipf(rng, n_brands))}")
+        s.extend(_misc_sentences(rng, n_people, n_brands, rng.randint(1, 3)))
+    # richness > 1 (bench sizing knob): extra relation sentences per page so
+    # extraction work per page scales without changing the storyline shape
+    if richness > 1:
+        s.extend(_misc_sentences(rng, n_people, n_brands, 3 * (richness - 1)))
     # occasional extra explicitly-dated relation (from/to span)
     if role == 9 and rng.random() < 0.3:
         d0 = BASE_TS + timedelta(days=rng.randint(0, 200))
@@ -188,13 +200,14 @@ def group_of_domain(domain: str) -> str:
     return "g" + str(int(hashlib.md5(domain.encode()).hexdigest(), 16) % 4)
 
 
-def gen_pages_batch(indices: Iterable[int], n_pages: int, seed: int = SEED) -> pd.DataFrame:
+def gen_pages_batch(indices: Iterable[int], n_pages: int, seed: int = SEED,
+                    richness: int = 1) -> pd.DataFrame:
     rows = []
     for i in indices:
         rng = random.Random(f"{seed}|page|{i}")
         sid = i // 10
         domain = _DOMAINS[sid % len(_DOMAINS)]
-        sentences = _page_sentences(i, n_pages, rng)
+        sentences = _page_sentences(i, n_pages, rng, richness)
         html = _render_html(sentences, rng)
         rows.append({
             "url": f"https://{domain}/p/{i:08d}",
@@ -209,15 +222,16 @@ def gen_pages_batch(indices: Iterable[int], n_pages: int, seed: int = SEED) -> p
     return df
 
 
-def pages_pandas(n_pages: int, seed: int = SEED) -> pd.DataFrame:
-    return gen_pages_batch(range(n_pages), n_pages, seed)
+def pages_pandas(n_pages: int, seed: int = SEED, richness: int = 1) -> pd.DataFrame:
+    return gen_pages_batch(range(n_pages), n_pages, seed, richness)
 
 
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, text string, "
              "lang string, group_id string")
 
 
-def pages_spark(spark, n_pages: int, seed: int = SEED, partitions: int | None = None):
+def pages_spark(spark, n_pages: int, seed: int = SEED, partitions: int | None = None,
+                richness: int = 1):
     """Distributed generation: one task generates one index-range slice.
 
     ``spark.range`` is evenly partitioned, so generation parallelizes to any
@@ -228,6 +242,6 @@ def pages_spark(spark, n_pages: int, seed: int = SEED, partitions: int | None = 
 
     def gen(batches):
         for pdf in batches:
-            yield gen_pages_batch(pdf["id"].tolist(), n_pages, seed)
+            yield gen_pages_batch(pdf["id"].tolist(), n_pages, seed, richness)
 
     return spark.range(0, n_pages, numPartitions=n_parts).mapInPandas(gen, PAGES_DDL)

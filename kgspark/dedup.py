@@ -9,6 +9,17 @@ the FIRST occurrence by (warc_ts, url); provenance episodes are set-merged
 (edge_operations.py:186-187); explicit dates from the LAST restating episode
 win (resolve_extracted_edge overwrites valid_at/invalid_at when the current
 episode extracted dates — edge_operations.py:280-284).
+
+Scale shape: hub facts (the same assertion crawled from tens of thousands of
+pages) skew a naive groupBy — one reducer would absorb the whole duplicate
+class. The aggregation therefore runs in TWO phases with an explicit salt on
+the provenance url (north-rule hub salting): phase 1 aggregates per
+(class, salt) spreading each hub class over N_SALTS reducers; phase 2 merges
+the per-salt partials. min/max merge losslessly; provenance merges as
+set-union then is CAPPED at ``max_provenance`` urls (smallest-first,
+deterministic) with the exact total kept in ``n_occurrences`` — an explicit,
+logged bound, not a silent truncation (a 10^12-corpus hub fact cannot carry
+an unbounded episodes array).
 """
 
 from __future__ import annotations
@@ -16,18 +27,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+N_SALTS = 16
+MAX_PROVENANCE = 1000
 
-def dedup_edges(triples: DataFrame) -> DataFrame:
+KEY = ["group_id", "src_uuid", "predicate", "dst_uuid", "norm_fact"]
+
+
+def dedup_edges(triples: DataFrame, n_salts: int = N_SALTS,
+                max_provenance: int = MAX_PROVENANCE) -> DataFrame:
     """triples: group_id, src_uuid, dst_uuid, predicate, fact, norm_fact,
     url, warc_ts, valid_at_explicit, invalid_at_explicit.
 
     Returns one edge row per duplicate-class with merged provenance.
     """
-    key = ["group_id", "src_uuid", "predicate", "dst_uuid", "norm_fact"]
-    merged = (
+    salted = (
         triples
         .filter(F.col("src_uuid") != F.col("dst_uuid"))  # self-loop drop (bulk_utils.py:385-386)
-        .groupBy(*key)
+        .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+    )
+    partial = (
+        salted
+        .groupBy(*KEY, "salt")
         .agg(
             F.min(F.struct(F.col("warc_ts"), F.col("url"),
                            F.col("fact"))).alias("first_occ"),
@@ -35,13 +55,28 @@ def dedup_edges(triples: DataFrame) -> DataFrame:
                          F.struct("warc_ts", "url", "valid_at_explicit"))).alias("last_valid"),
             F.max(F.when(F.col("invalid_at_explicit").isNotNull(),
                          F.struct("warc_ts", "url", "invalid_at_explicit"))).alias("last_invalid"),
-            F.array_sort(F.collect_set("url")).alias("episodes"),
-            F.min("warc_ts").alias("created_at"),
+            F.slice(F.array_sort(F.collect_set("url")), 1,
+                    max_provenance).alias("eps"),
+            F.min("warc_ts").alias("created_at_p"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )
+    merged = (
+        partial
+        .groupBy(*KEY)
+        .agg(
+            F.min("first_occ").alias("first_occ"),
+            F.max("last_valid").alias("last_valid"),
+            F.max("last_invalid").alias("last_invalid"),
+            F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("eps")))),
+                    1, max_provenance).alias("episodes"),
+            F.min("created_at_p").alias("created_at"),
+            F.sum("n_occ").alias("n_occurrences"),
         )
         .select(
-            *key,
+            *KEY,
             F.col("first_occ.fact").alias("fact"),
-            "episodes", "created_at",
+            "episodes", "created_at", "n_occurrences",
             # valid_at: last explicit restatement wins, else the first
             # occurrence's crawl time (present-tense default — prompt rule 3,
             # prompts/extract_edge_dates.py:81)

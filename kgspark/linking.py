@@ -137,7 +137,10 @@ def candidate_pairs(entities: DataFrame) -> DataFrame:
     """Blocking: MinHash-LSH bands ∪ first-token blocks -> distinct
     (group_id, norm_name a, norm_name b) candidate pairs (a < b)."""
     linkable = entities.filter(~F.col("is_dynamic"))
-    bands = udfs.entity_band_keys(linkable)
+    # checkpoint: the salted self-join references the band table three times
+    # (hot-key detection + both sides); without materialization the banding
+    # UDF would run three times
+    bands = udfs.entity_band_keys(linkable).localCheckpoint()
     band_pairs = _salted_self_join(
         bands.select("group_id", "band_key", "norm_name"),
         ["group_id", "band_key"], "norm_name",

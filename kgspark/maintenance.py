@@ -1,0 +1,151 @@
+"""Graph maintenance operators: episode windows, deletion with orphan GC,
+group deletes, and point-in-time search filters.
+
+Analogs of /root/reference/graphiti_core/utils/maintenance/
+graph_data_operations.py, graphiti.py:641-704 (remove_episode) and
+search/search_filters.py.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EPISODE_WINDOW_LEN = 3  # graph_data_operations.py:26
+
+
+def retrieve_episodes(episodes: DataFrame, reference_time: datetime,
+                      last_n: int = EPISODE_WINDOW_LEN,
+                      group_ids: list[str] | None = None) -> DataFrame:
+    """Last-N episodes with valid_at <= reference_time per group, newest
+    first (graph_data_operations.py:104-159)."""
+    df = episodes.filter(F.col("valid_at") <= F.lit(reference_time))
+    if group_ids:
+        df = df.filter(F.col("group_id").isin(group_ids))
+    w = Window.partitionBy("group_id").orderBy(F.desc("valid_at"), F.desc("uuid"))
+    return (df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= last_n).drop("rn"))
+
+
+def episode_context_window(pages: DataFrame,
+                           last_n: int = EPISODE_WINDOW_LEN) -> DataFrame:
+    """Per-page previous-episodes context as a lag window (the batch analog
+    of the per-episode retrieve_episodes call, SURVEY.md §2.1): each page
+    gets the texts of its ``last_n`` predecessors in (warc_ts, url) order
+    within its group — no point queries."""
+    w = (Window.partitionBy("group_id").orderBy("warc_ts", "url")
+         .rowsBetween(-last_n, -1))
+    return pages.withColumn("prev_context", F.collect_list("text").over(w))
+
+
+def remove_episode(tables: dict[str, DataFrame],
+                   episode_uuid: str) -> dict[str, DataFrame]:
+    """Delete an episode, the facts only it evidenced, and newly-orphaned
+    nodes (graphiti.py:641-704: count-subquery orphan GC become anti-joins).
+
+    Returns new table DataFrames (episodes, edges, mentions, nodes).
+    """
+    episodes = tables["episodes"].filter(F.col("uuid") != episode_uuid)
+    # facts lose this episode from provenance; facts with empty provenance die
+    edges = (tables["edges"]
+             .withColumn("episodes", F.array_remove("episodes", episode_uuid))
+             .filter(F.size("episodes") > 0))
+    mentions = tables["mentions"].filter(F.col("episode_uuid") != episode_uuid)
+    # orphan nodes: no remaining mention AND no remaining edge endpoint
+    endpoint_refs = (edges.select(F.col("source_node_uuid").alias("node_uuid"))
+                     .union(edges.select(F.col("target_node_uuid").alias("node_uuid")))
+                     .distinct())
+    live = mentions.select("node_uuid").distinct().union(endpoint_refs).distinct()
+    nodes = tables["nodes"].join(live, tables["nodes"]["uuid"] == live["node_uuid"],
+                                 "left_semi")
+    return {"episodes": episodes, "edges": edges, "mentions": mentions,
+            "nodes": nodes}
+
+
+def delete_group(tables: dict[str, DataFrame], group_id: str) -> dict[str, DataFrame]:
+    """Drop every row of a graph partition (Node.delete_by_group_id,
+    nodes.py:113-124; with Iceberg this is a metadata-only partition drop)."""
+    return {k: v.filter(F.col("group_id") != group_id) for k, v in tables.items()
+            if "group_id" in v.columns}
+
+
+def clear_data(spark, base: str | None = None) -> None:
+    """MATCH (n) DETACH DELETE n analog (graph_data_operations.py:95-101):
+    drop-recreate of the output location."""
+    if base:
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time search filters (search_filters.py:25-171)
+# ---------------------------------------------------------------------------
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<>": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+    "is_null": lambda c, v: c.isNull(),
+    "is_not_null": lambda c, v: c.isNotNull(),
+}
+
+_DATE_FIELDS = ("valid_at", "invalid_at", "expired_at", "created_at")
+
+
+def build_filter(spec: dict) -> Column:
+    """SearchFilters analog: per temporal field, a list of OR-groups, each a
+    list of AND-ed ``(op, value)`` pairs (the DNF shape of
+    search_filters.py:65-171); plus optional ``node_labels`` / ``edge_types``
+    membership lists.
+
+    Example::
+
+        build_filter({
+            "valid_at": [[("<=", ts), (">", ts0)]],   # (valid<=ts AND valid>ts0)
+            "invalid_at": [[("is_null", None)], [(">", ts)]],  # null OR >ts
+            "edge_types": ["LIKES", "WORKS_FOR"],
+        })
+    """
+    conds: list[Column] = []
+    for field in _DATE_FIELDS:
+        groups = spec.get(field)
+        if not groups:
+            continue
+        or_parts = []
+        for group in groups:
+            and_part = None
+            for op, value in group:
+                c = _OPS[op](F.col(field), F.lit(value))
+                and_part = c if and_part is None else (and_part & c)
+            if and_part is not None:
+                or_parts.append(and_part)
+        if or_parts:
+            combined = or_parts[0]
+            for p in or_parts[1:]:
+                combined = combined | p
+            conds.append(combined)
+    if spec.get("node_labels"):
+        conds.append(F.arrays_overlap(
+            F.col("labels"), F.array(*[F.lit(x) for x in spec["node_labels"]])))
+    if spec.get("edge_types"):
+        conds.append(F.col("name").isin(spec["edge_types"]))
+    if spec.get("group_ids"):
+        conds.append(F.col("group_id").isin(spec["group_ids"]))
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
+
+
+def facts_as_of(edges: DataFrame, as_of: datetime) -> DataFrame:
+    """Point-in-time view: facts true at ``as_of`` (valid_at <= t and not
+    yet invalid) — the canonical bi-temporal query the filters exist for."""
+    return edges.filter(build_filter({
+        "valid_at": [[("<=", as_of)]],
+        "invalid_at": [[("is_null", None)], [(">", as_of)]],
+    }))

@@ -52,9 +52,11 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
             .select("url")
         )
 
-    # stage 1: mention detection (vectorized); checkpointed — feeds both the
-    # entity/linking path and the MENTIONS table
-    mentions_raw = udfs.extract_mentions(pages).localCheckpoint()
+    # stage 1: mention detection (vectorized). Deliberately NOT checkpointed:
+    # re-running the Arrow extraction over the parquet scan is cheaper than
+    # materializing the full mention set, and consumers that don't need the
+    # MENTIONS table (e.g. the throughput bench) then never pay for it
+    mentions_raw = udfs.extract_mentions(pages)
 
     # stage 2: entity linking
     entities = linking.distinct_entities(mentions_raw)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgspark import udfs
@@ -195,11 +195,61 @@ class SearchConfig:
     mmr_lambda: float = DEFAULT_MMR_LAMBDA
 
 
+# Recipe presets (search_config_recipes.py:31-202 analog): the reference's
+# 15 presets are the cross product of entity kind × reranker; entity kind is
+# just which table you pass, so the reranker axis is what the configs carry.
 EDGE_HYBRID_SEARCH_RRF = SearchConfig(reranker="rrf")
+EDGE_HYBRID_SEARCH_MMR = SearchConfig(reranker="mmr")
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(reranker="node_distance")
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(reranker="mention_count")
 NODE_HYBRID_SEARCH_RRF = SearchConfig(reranker="rrf")
+NODE_HYBRID_SEARCH_MMR = SearchConfig(reranker="mmr")
 NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(reranker="node_distance")
 NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(reranker="mention_count")
-EDGE_HYBRID_SEARCH_MMR = SearchConfig(reranker="mmr")
+COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(reranker="rrf")
+COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(reranker="mmr")
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig(reranker="rrf")
+
+
+def priority_boost(results: DataFrame, edges: DataFrame, episodes: DataFrame,
+                   priority_episode_filter: Column, boost: float = 0.2,
+                   score_col: str = "rrf_score") -> DataFrame:
+    """Fork-added post-RRF boost (search.py:268-314; channel set
+    graphiti.py:492-494): +``boost`` when any provenance episode of the
+    result's fact satisfies ``priority_episode_filter`` (e.g. a priority
+    channel / human-authored episode — here any episode predicate over the
+    episodes table, such as ``F.col('lang') == 'en'``)."""
+    prio = (edges.select("uuid", F.explode("episodes").alias("ep"))
+            .join(episodes.filter(priority_episode_filter)
+                  .select(F.col("uuid").alias("ep")), "ep")
+            .select("uuid").distinct()
+            .withColumn("is_priority", F.lit(True)))
+    return (results.join(prio, "uuid", "left")
+            .withColumn(score_col,
+                        F.when(F.col("is_priority"), F.col(score_col) + boost)
+                        .otherwise(F.col(score_col)))
+            .drop("is_priority")
+            .orderBy(F.desc(score_col), "uuid"))
+
+
+def episode_mention_sort(edges: DataFrame) -> DataFrame:
+    """Final edge ordering by provenance count (search.py:356-358)."""
+    return edges.orderBy(F.size("episodes").desc(), "uuid")
+
+
+def nodes_and_edges_by_episode(episode_uuids: list[str], episodes: DataFrame,
+                               edges: DataFrame, mentions: DataFrame,
+                               nodes: DataFrame) -> dict[str, DataFrame]:
+    """Episode→graph lookup (get_nodes_and_edges_by_episode,
+    graphiti.py:542-567; get_mentioned_nodes search_utils.py:91-115):
+    the episodes' entity_edges + mentioned nodes, via array explode joins."""
+    eps = episodes.filter(F.col("uuid").isin(episode_uuids))
+    edge_ids = eps.select(F.explode("entity_edges").alias("uuid")).distinct()
+    out_edges = edges.join(edge_ids, "uuid", "left_semi")
+    node_ids = (mentions.filter(F.col("episode_uuid").isin(episode_uuids))
+                .select(F.col("node_uuid").alias("uuid")).distinct())
+    out_nodes = nodes.join(node_ids, "uuid", "left_semi")
+    return {"edges": out_edges, "nodes": out_nodes}
 
 
 def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,

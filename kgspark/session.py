@@ -34,8 +34,16 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only JVM: give it real memory (the sandbox box
+        # has 128G; a small heap makes 32 concurrent tasks GC-bound and
+        # wrecks scaling long before data volume does)
+        .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-bench corpora are a few hundred MB; the 128MB default split
+        # would cap scan parallelism below the core count (on a real cluster
+        # with TB-scale tables the default is fine — this only lowers the
+        # floor, AQE coalesces tiny partitions back together)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .getOrCreate()
     )

@@ -1,0 +1,44 @@
+"""Priority boost, episode-mention sort, episode→graph lookup
+(fork features: search.py:268-314,356-358; graphiti.py:542-567)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import search as ks
+from kgspark.datagen import pages_spark
+from kgspark.pipeline import build_graph
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    out = build_graph(pages_spark(spark, 100, partitions=2), check_text=False,
+                      compute_embeddings=False)
+    return {k: v.localCheckpoint() for k, v in out.items()
+            if k in ("episodes", "edges", "mentions", "nodes")}
+
+
+def test_priority_boost(spark, graph):
+    base = (graph["edges"].select("uuid")
+            .withColumn("rrf_score", F.lit(0.5)))
+    boosted = ks.priority_boost(base, graph["edges"], graph["episodes"],
+                                F.col("lang") == "en")
+    scores = {r["uuid"]: r["rrf_score"] for r in boosted.collect()}
+    assert set(scores.values()) <= {0.5, 0.7}
+    assert 0.7 in scores.values()  # most pages are en → some boosts applied
+
+
+def test_episode_mention_sort(spark, graph):
+    rows = ks.episode_mention_sort(graph["edges"]).collect()
+    sizes = [len(r["episodes"]) for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_nodes_and_edges_by_episode(spark, graph):
+    ep = (graph["episodes"].filter(F.size("entity_edges") > 0)
+          .limit(1).collect()[0])
+    out = ks.nodes_and_edges_by_episode([ep["uuid"]], graph["episodes"],
+                                        graph["edges"], graph["mentions"],
+                                        graph["nodes"])
+    got_edges = {r["uuid"] for r in out["edges"].collect()}
+    assert got_edges == set(ep["entity_edges"])
+    assert out["nodes"].count() > 0
