@@ -44,6 +44,11 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         # would cap scan parallelism below the core count (on a real cluster
         # with TB-scale tables the default is fine — this only lowers the
         # floor, AQE coalesces tiny partitions back together)
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # AQE's 64MB advisory target would coalesce our few-hundred-MB
+        # shuffles down to a handful of tasks, idling most cores; 8MB keeps
+        # mid-stage parallelism ≈ core count at bench scale while still
+        # merging truly tiny partitions
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024))
         .getOrCreate()
     )
