@@ -441,6 +441,24 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_point_in_time(spark, sf_dir):
+    # bi-temporal as-of snapshot (search_filters.py predicates + the
+    # kgspark/maintenance.facts_as_of shape): each (user, event_type)
+    # assertion is valid from its ts until the next assertion; report the
+    # assertion in force at the reference instant
+    as_of = "2024-01-04 00:00:00"
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("invalid_at", F.lead("ts").over(w))
+        .filter((F.col("ts") <= as_of)
+                & (F.col("invalid_at").isNull() | (F.col("invalid_at") > as_of)))
+        .select("user_id", "event_type", F.col("event_id").alias("current_event_id"),
+                F.col("ts").alias("valid_at"), "invalid_at")
+        .orderBy("user_id", "event_type")
+    )
+
+
 def q_quality_score(spark, sf_dir):
     from kgspark import datapipe as dp
     d = _t(spark, sf_dir, "documents")
@@ -557,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": q_neardup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "point_in_time": q_point_in_time,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "lang_id_multi": q_lang_id_multi,
@@ -790,6 +809,16 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "point_in_time": """
+            SELECT user_id, event_type, event_id AS current_event_id,
+                   ts AS valid_at, invalid_at
+            FROM (SELECT *, lead(ts) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id) AS invalid_at
+                  FROM events) t
+            WHERE ts <= TIMESTAMP '2024-01-04 00:00:00'
+              AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-01-04 00:00:00')
+            ORDER BY user_id, event_type
         """,
         "quality_score": """
             WITH t AS (
