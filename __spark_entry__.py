@@ -70,7 +70,7 @@ def _kg(spark: SparkSession):
         from kgspark.datagen import pages_spark
         from kgspark.pipeline import build_graph
         out = build_graph(pages_spark(spark, KG_PAGES), check_text=False,
-                          compute_embeddings=False)
+                          compute_embeddings=True)
         _KG_CACHE[key] = {k: v.localCheckpoint() for k, v in out.items()}
     return _KG_CACHE[key]
 
@@ -82,8 +82,12 @@ def q_kg_edges(spark, sf_dir):
 
 
 def q_kg_nodes(spark, sf_dir):
+    # labels is array<string> in the stored table; the driver canonicalizer
+    # needs scalar columns, so project a sorted joined form here
     return _kg(spark)["nodes"].select(
-        "uuid", "name", "group_id", "labels", "created_at", "summary")
+        "uuid", "name", "group_id",
+        F.array_join(F.array_sort("labels"), "|").alias("labels"),
+        "created_at", "summary")
 
 
 def q_kg_mentions(spark, sf_dir):
@@ -114,12 +118,11 @@ def q_kg_bfs(spark, sf_dir):
 
 
 def q_kg_hybrid_search(spark, sf_dir):
-    # hybrid fulltext ∪ cosine → RRF over the nodes table (search.py:73-157)
+    # hybrid fulltext ∪ cosine → RRF over the nodes table (search.py:73-157);
+    # reuses the session-cached build (embeddings included) instead of
+    # constructing a second graph
     from kgspark import search as ks
-    from kgspark.pipeline import build_graph
-    from kgspark.datagen import pages_spark
-    out = build_graph(pages_spark(spark, 120), check_text=False)
-    return ks.hybrid_search(out["nodes"], "name", "name_embedding",
+    return ks.hybrid_search(_kg(spark)["nodes"], "name", "name_embedding",
                             "Priya Sharma", ks.NODE_HYBRID_SEARCH_RRF)
 
 
@@ -837,11 +840,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": r"""
             SELECT doc_id,
-                   len(string_split_regex(text, '\s+')) AS whitespace_tokens,
-                   len(regexp_extract_all(text, '[a-z0-9]+')) AS word_tokens,
-                   coalesce(list_sum(list_transform(
+                   len(string_split_regex(text, '\s+'))::BIGINT AS whitespace_tokens,
+                   len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS word_tokens,
+                   CAST(coalesce(list_sum(list_transform(
                        regexp_extract_all(text, '[a-z0-9]+'),
-                       t -> cast(ceil(length(t) / 4.0) AS INT))), 0)
+                       t -> cast(ceil(length(t) / 4.0) AS INT))), 0) AS BIGINT)
                        AS bpe_ish_tokens
             FROM documents ORDER BY doc_id
         """,

@@ -322,11 +322,13 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
     subtok = F.aggregate(
         toks, F.lit(0),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4)).cast("int"))
+    # all counts as long: the driver's value-hash is dtype-sensitive and the
+    # DuckDB oracle emits BIGINT (list_sum would otherwise be HUGEINT)
     return docs.select(
         id_col,
-        F.size(F.split(text_col, "\\s+")).alias("whitespace_tokens"),
-        F.size(toks).alias("word_tokens"),
-        subtok.alias("bpe_ish_tokens"))
+        F.size(F.split(text_col, "\\s+")).cast("long").alias("whitespace_tokens"),
+        F.size(toks).cast("long").alias("word_tokens"),
+        subtok.cast("long").alias("bpe_ish_tokens"))
 
 
 def rolling_fingerprint(docs: DataFrame, id_col: str = "doc_id",
