@@ -2,11 +2,28 @@
 
 Replaces the reference's uuid-map transitive closure (compress_uuid_map,
 /root/reference/graphiti_core/utils/bulk_utils.py:314-323, and the pointer
-chase bulk_processor.py:269-301) with distributed iterative label
-minimization (the large-star/small-star family): every vertex repeatedly
-adopts the minimum label in its closed neighborhood until fixpoint. Alias
-clusters have tiny diameters, so convergence is a handful of rounds;
-``localCheckpoint`` per round cuts lineage growth (SURVEY.md §7.3 risk 3).
+chase bulk_processor.py:269-301).
+
+Two strategies:
+
+- ``connected_components`` (default): **exact union-find per group partition**
+  in one Arrow stage. Alias components can never span ``group_id`` because
+  pre-canonical entity uuids embed the group (textcore.entity_uuid →
+  md5('ent|<group>|<norm name>')), so the component problem is
+  embarrassingly parallel over groups: one shuffle co-locates each group's
+  pairs, then a vectorized union-find resolves them locally. This replaces
+  the iterative min-label loop's ~8 jobs (burst materializations +
+  convergence checks) with ONE — driver-side job count, not data volume, is
+  the scaling bottleneck of iterative refinement (BENCH/BASELINE.md).
+  State per task = the group's alias PAIRS (not its entities): at
+  10^12-document scale groups are date×domain buckets and their pair sets
+  are orders of magnitude smaller than the corpus; a group whose pairs
+  exceed executor memory should use the iterative fallback below.
+
+- ``connected_components_iterative``: distributed min-label propagation
+  (large-star/small-star family) for groups too large for local resolution;
+  raises if the component diameter exceeds ``max_iterations`` instead of
+  silently returning split components.
 
 The canonical id of a component is the MINIMUM member uuid — the same
 deterministic rule the oracle applies, so component naming matches exactly.
@@ -14,32 +31,73 @@ deterministic rule the oracle applies, so component naming matches exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 24
 BURST = 4  # propagation rounds between convergence checks
 
+CC_DDL = "uuid string, canonical_uuid string"
+
+
+def _union_find(pdf: pd.DataFrame, src: str, dst: str) -> pd.DataFrame:
+    """Exact union-find with path compression; roots are kept minimal
+    (attach the larger root under the smaller), so the final root of every
+    vertex is the MIN uuid of its component."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf[src], pdf[dst]):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return pd.DataFrame(
+        {"uuid": list(parent), "canonical_uuid": [find(v) for v in parent]})
+
 
 def connected_components(pairs: DataFrame, src: str = "uuid_a", dst: str = "uuid_b",
-                         max_iterations: int = MAX_ITERATIONS) -> DataFrame:
-    """pairs(src, dst) -> mapping(uuid, canonical_uuid), only for vertices
-    that appear in at least one pair (identity rows are implicit).
+                         group_col: str = "group_id") -> DataFrame:
+    """pairs(src, dst [, group_col]) -> mapping(uuid, canonical_uuid), only
+    for vertices that appear in at least one pair (identity rows are
+    implicit). One shuffle (hash partition by group), one Arrow stage."""
+    if group_col not in pairs.columns:
+        pairs = pairs.withColumn("__cc_g", F.lit("all"))
+        group_col = "__cc_g"
 
-    Rounds run in BURSTs of 4 between convergence checks: alias components
-    have tiny diameters, so one burst usually converges and the whole
-    canonicalization costs 2 Spark jobs (burst materialization + check)
-    instead of 2 per round — job-count, not data volume, is the scaling
-    bottleneck of driver-side iteration.
-    """
-    # undirected edge list, deduped
+    def run(key, pdf):
+        return _union_find(pdf, src, dst)
+
+    return (pairs.select(group_col, src, dst)
+            .groupBy(group_col).applyInPandas(run, CC_DDL))
+
+
+def connected_components_iterative(pairs: DataFrame, src: str = "uuid_a",
+                                   dst: str = "uuid_b",
+                                   max_iterations: int = MAX_ITERATIONS) -> DataFrame:
+    """Distributed min-label propagation for groups whose pair sets exceed
+    local memory. Rounds run in BURSTs of 4 between convergence checks;
+    raises RuntimeError on non-convergence (a silently split component would
+    diverge from the oracle's union-find with no signal)."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint()
     )
-    # label init: each vertex starts as its own component
     labels = edges.select(F.col("a").alias("v")).distinct() \
         .withColumn("label", F.col("v"))
 
@@ -51,7 +109,7 @@ def connected_components(pairs: DataFrame, src: str = "uuid_a", dst: str = "uuid
         return (lbl.union(neighbor_labels)
                 .groupBy("v").agg(F.min("label").alias("label")))
 
-    rounds = 0
+    rounds, converged = 0, False
     while rounds < max_iterations:
         new_labels = labels
         for _ in range(min(BURST, max_iterations - rounds)):
@@ -63,10 +121,15 @@ def connected_components(pairs: DataFrame, src: str = "uuid_a", dst: str = "uuid
             .filter(F.col("label") != F.col("old"))
             .limit(1).count()
         )
-        converged = changed == 0
         labels = new_labels
-        if converged:
+        if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_iterative: not converged after "
+            f"{max_iterations} rounds — component diameter exceeds the "
+            f"iteration budget; raise max_iterations")
 
     return labels.select(F.col("v").alias("uuid"), F.col("label").alias("canonical_uuid"))
 

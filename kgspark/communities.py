@@ -8,9 +8,11 @@ community_operations.py:
   reference itself notes the single-query form at :99-104);
 - label_propagation (:150-212): synchronous LP — every node adopts the
   argmax of weight-summed neighbor labels, ties broken by the LOWEST label
-  (deterministic, :186-191), ≤10 iterations; here each iteration is one
-  join + window-rank pass over the adjacency DataFrame, checkpointed to cut
-  lineage;
+  (deterministic, :186-191), ≤10 iterations. The graph is group-partitioned
+  (edges never span group_id), so LP runs as an EXACT local fixpoint per
+  group in one Arrow stage — one shuffle replaces ~20 driver-scheduled
+  iteration jobs. ``label_propagation_distributed`` keeps the
+  join-per-round form for groups whose adjacency exceeds local memory;
 - build_communities (:215-322): clusters with >1 member become community
   nodes + HAS_MEMBER edges (edge_operations.py:55-70) with a deterministic
   template name/summary standing in for the LLM summarizer.
@@ -36,11 +38,47 @@ def adjacency(edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("weight")))
 
 
+_LP_DDL = "group_id string, uuid string, community_id string"
+
+
 def label_propagation(adj: DataFrame,
                       max_iterations: int = MAX_LP_ITERATIONS) -> DataFrame:
     """(group_id, uuid, community_id). community_id is the converged label
     (a node uuid — lexicographic ids give the same deterministic tie-break
-    as the reference's integer ids)."""
+    as the reference's integer ids).
+
+    Exact synchronous LP per group partition: one shuffle co-locates each
+    group's adjacency, the fixpoint runs locally (pandas group-aggregate per
+    round). State per task = one group's adjacency rows — at 10^12 scale
+    groups are date×domain buckets; oversize groups should use
+    ``label_propagation_distributed``."""
+
+    def run(key, pdf):
+        import pandas as pd
+        nodes = sorted(set(pdf["a"]))
+        label = {v: v for v in nodes}
+        for _ in range(max_iterations):
+            nl = pdf.assign(lbl=pdf["b"].map(label))
+            agg = nl.groupby(["a", "lbl"], as_index=False)["weight"].sum()
+            agg = agg.sort_values(["a", "weight", "lbl"],
+                                  ascending=[True, False, True])
+            best = agg.drop_duplicates("a", keep="first")
+            new = dict(zip(best["a"], best["lbl"]))
+            changed = any(new.get(v, label[v]) != label[v] for v in nodes)
+            label = {v: new.get(v, label[v]) for v in nodes}
+            if not changed:
+                break
+        return pd.DataFrame({"group_id": key[0], "uuid": nodes,
+                             "community_id": [label[v] for v in nodes]})
+
+    return (adj.select("group_id", "a", "b", "weight")
+            .groupBy("group_id").applyInPandas(run, _LP_DDL))
+
+
+def label_propagation_distributed(adj: DataFrame,
+                                  max_iterations: int = MAX_LP_ITERATIONS) -> DataFrame:
+    """Join-per-round synchronous LP for groups too large for local
+    resolution (same semantics as ``label_propagation``)."""
     adj = adj.localCheckpoint()
     labels = (adj.select("group_id", F.col("a").alias("uuid")).distinct()
               .withColumn("label", F.col("uuid")))

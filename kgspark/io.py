@@ -52,13 +52,28 @@ def completed_groups(base: str) -> set[str]:
     return out
 
 
-def write_tables(out: dict[str, DataFrame], base: str) -> dict[str, int]:
+def write_tables(out: dict[str, DataFrame], base: str,
+                 groups: list[str] | None = None) -> dict[str, int]:
     """Write each output table partitioned by group_id (dynamic overwrite:
-    only the partitions present in the batch are replaced)."""
+    only the partitions present in the batch are replaced).
+
+    ``groups``: the group ids this batch covers. Their partition dirs are
+    DELETED first for every table — dynamic overwrite only replaces
+    partitions present in the new output, so a recomputed group whose
+    result is now EMPTY for some table (e.g. edge_invalidations after an
+    explicit end-date preempts a conflict) would otherwise keep the stale
+    partition and diverge from a batch rebuild."""
+    import shutil
+
     counts = {}
     for t in TABLES:
         if t not in out:
             continue
+        if groups:
+            for g in groups:
+                p = Path(base) / t / f"group_id={g}"
+                if p.exists():
+                    shutil.rmtree(p)
         df = out[t]
         (df.write.mode("overwrite")
            .option("partitionOverwriteMode", "dynamic")
@@ -100,19 +115,55 @@ def run_resumable(spark: SparkSession, pages: DataFrame, base: str,
         sub = pages.filter(F.col("group_id").isin(batch))
         out = build_graph(sub, batch_ts, check_text=False,
                           compute_embeddings=compute_embeddings)
-        write_tables(out, base)
+        write_tables(out, base, groups=batch)
         el = time.time() - t0
-        # per-group metrics from the written data (cheap: partition-pruned)
+        # per-group metrics: ONE partition-pruned aggregate per table
+        # (job count independent of group count — a per-group read-back
+        # would be a driver-side job storm at thousands of groups)
+        per_group: dict[str, dict[str, int]] = {g: {} for g in batch}
+        for t in ("nodes", "edges", "mentions"):
+            rows = (spark.read.parquet(str(Path(base) / t))
+                    .filter(F.col("group_id").isin(batch))
+                    .groupBy("group_id").count().collect())
+            got = {r["group_id"]: r["count"] for r in rows}
+            for g in batch:
+                per_group[g][t] = got.get(g, 0)
         for g in batch:
-            counts = {}
-            for t in ("nodes", "edges", "mentions"):
-                p = Path(base) / t / f"group_id={g}"
-                counts[t] = (spark.read.parquet(str(p)).count()
-                             if p.exists() else 0)
-            _record_lineage(base, g, batch_id, counts, el / len(batch))
+            _record_lineage(base, g, batch_id, per_group[g], el / len(batch))
             summary["groups_processed"] += 1
     return summary
 
 
 def read_table(spark: SparkSession, base: str, table: str) -> DataFrame:
     return spark.read.parquet(str(Path(base) / table))
+
+
+def merge_upsert(spark: SparkSession, base: str, table: str, df: DataFrame,
+                 key_cols: tuple[str, ...] = ("uuid",)) -> int:
+    """Row-level MERGE upsert (UNWIND-MERGE bulk-save analog,
+    /root/reference/graphiti_core/utils/bulk_utils.py:90-131,
+    models/nodes/node_db_queries.py:25-48): rows matching ``key_cols`` are
+    replaced, the rest inserted. Only the group partitions TOUCHED by
+    ``df`` are read back (partition-pruned) and rewritten (dynamic
+    overwrite) — the right tool for small incremental updates into huge
+    partitioned tables, where whole-partition recompute is not.
+
+    On an Iceberg catalog this is a single MERGE INTO; the parquet fallback
+    materializes the merged partitions (localCheckpoint) before overwrite
+    because parquet cannot read and overwrite the same path lazily.
+    Returns the number of rows written."""
+    path = Path(base) / table
+    groups = [r["group_id"] for r in df.select("group_id").distinct().collect()]
+    if path.exists():
+        existing = (spark.read.parquet(str(path))
+                    .filter(F.col("group_id").isin(groups)))
+        keep = existing.join(df.select(*key_cols).distinct(),
+                             list(key_cols), "left_anti")
+        out = keep.unionByName(df).localCheckpoint()
+    else:
+        out = df
+    (out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("group_id")
+        .parquet(str(path)))
+    return out.count()

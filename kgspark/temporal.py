@@ -1,5 +1,4 @@
-"""Bi-temporal pass: contradiction detection + edge invalidation in one
-window-shaped shuffle.
+"""Bi-temporal pass: contradiction detection + edge invalidation.
 
 Batch restatement of the reference's incremental contradiction machinery
 (/root/reference/graphiti_core/utils/maintenance/edge_operations.py:234-305,
@@ -22,13 +21,31 @@ valid_at (see tests/test_temporal.py for the ported reference scenarios).
 
 Event predicates (LEFT_JOB, ...) close conflicting state facts but are never
 themselves closed.
+
+Scale shape: the conflict rule per key is "earliest strictly-later peer in a
+DIFFERENT conflict-group" (group = predicate for pair scope, object for
+subject-functional scope). A naive formulation replicates each key's full
+peer set per row — O(n²) state on a hub subject (e.g. 10^5 facts under one
+functional predicate of a celebrity entity). Instead, one shuffle
+co-locates + sorts each key's rows by (valid_at, uuid) and a vectorized
+O(n) suffix scan finds every row's closer:
+
+  for row r, the closing peer is the first element of the strictly-later
+  suffix (sorted order ⇒ it is the (valid_at, uuid)-minimum); if that
+  element shares r's conflict-group, the answer is the first LATER element
+  whose group differs — which, because everything between belongs to the
+  same group run, is exactly the next group-change point. Both lookups are
+  O(1) after one pass. State per task = its partition's rows, never a
+  per-row peer array.
 """
 
 from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgspark.textcore import (
@@ -69,50 +86,106 @@ def with_contra_keys(edges: DataFrame) -> DataFrame:
     )
 
 
+_SCAN_DDL = "uuid string, conflict_invalid_at timestamp, caused_by_edge_uuid string"
+
+
+def _suffix_scan(batches):
+    """Per-partition vectorized closer search. Input batches are sorted by
+    (contra_key, valid_at, uuid) via sortWithinPartitions; all rows of a key
+    live in one partition (repartition by key)."""
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    n = len(pdf)
+    key = pdf["contra_key"].to_numpy()
+    grp = pdf["grp"].to_numpy()
+    valid = pdf["valid_at"].to_numpy()
+    uid = pdf["uuid"].to_numpy()
+    closable = pdf["closable"].to_numpy()
+
+    newkey = np.ones(n, dtype=bool)
+    newkey[1:] = key[1:] != key[:-1]
+    key_id = np.cumsum(newkey) - 1
+
+    # runs of equal (key, valid_at): the strictly-later suffix of row i
+    # starts right after i's run
+    newrun = newkey.copy()
+    newrun[1:] |= valid[1:] != valid[:-1]
+    run_id = np.cumsum(newrun) - 1
+    run_starts = np.flatnonzero(newrun)
+    run_end = np.append(run_starts[1:], n) - 1
+    b = run_end[run_id] + 1  # first strictly-later index (may be n / next key)
+
+    # group-change points within a key: position k with key[k]==key[k-1] and
+    # grp[k]!=grp[k-1]; the first change point after j is the first index
+    # after j whose group differs from grp[j] (run argument)
+    chg = np.zeros(n, dtype=bool)
+    chg[1:] = (~newkey[1:]) & (grp[1:] != grp[:-1])
+    chg_idx = np.flatnonzero(chg)
+
+    closer = np.full(n, -1, dtype=np.int64)
+    in_range = b < n
+    vb = np.where(in_range, b, 0)
+    same_key = in_range & (key_id[vb] == key_id)
+    diff_grp = same_key & (grp[vb] != grp)
+    closer[diff_grp] = b[diff_grp]
+    need_nd = same_key & ~diff_grp
+    if chg_idx.size and need_nd.any():
+        pos = np.searchsorted(chg_idx, vb, side="right")
+        has = pos < chg_idx.size
+        k = chg_idx[np.minimum(pos, chg_idx.size - 1)]
+        ok = need_nd & has & (key_id[k] == key_id)
+        closer[ok] = k[ok]
+
+    mask = closable & (closer >= 0)
+    ci = closer[mask]
+    yield pd.DataFrame({
+        "uuid": uid[mask],
+        "conflict_invalid_at": valid[ci],
+        "caused_by_edge_uuid": uid[ci],
+    })
+
+
 def temporal_pass(edges: DataFrame, batch_ts: datetime) -> tuple[DataFrame, DataFrame]:
     """edges must carry: uuid, src_uuid, dst_uuid, predicate, valid_at,
-    invalid_at_explicit, expired_at (null), group_id.
+    invalid_at_explicit, group_id.
 
     Returns (edges with final invalid_at/expired_at, invalidation records
     ``(edge_uuid, invalid_at, expired_at, caused_by_edge_uuid)`` —
     FIXTURES.md §2 edge_invalidations).
     """
-    keyed = with_contra_keys(edges).select(
-        "uuid", "contra_key", "predicate", "valid_at",
-        F.col("dst_uuid").alias("obj"),
-    )
-    w = Window.partitionBy("contra_key")
-    # All facts sharing the key, as an array; each row then selects its own
-    # earliest strictly-later conflicting fact. Key groups are small by
-    # construction (facts about one node pair / one subject+predicate), so
-    # the collected array is bounded — no unbounded-state risk at scale.
+    spark = edges.sparkSession
     scope = F.split(F.col("contra_key"), "\\|").getItem(0)
-    conflicts = (
-        keyed
-        .withColumn("peers", F.collect_list(
-            F.struct("valid_at", "uuid", "predicate", "obj")).over(w))
-        .withColumn(
-            "later_conflicts",
-            F.filter(
-                "peers",
-                lambda p: p["valid_at"].isNotNull()
-                & F.col("valid_at").isNotNull()
-                & (p["valid_at"] > F.col("valid_at"))
-                & (
-                    F.when(scope == "pair", p["predicate"] != F.col("predicate"))
-                    .otherwise(p["obj"] != F.col("obj"))
-                ),
-            ),
+    keyed = (
+        with_contra_keys(edges)
+        # null valid_at rows neither close nor get closed
+        .filter(F.col("valid_at").isNotNull())
+        .select(
+            "uuid", "contra_key", "valid_at",
+            # conflict-group: pair scope conflicts across predicates,
+            # subject-functional scope across objects
+            F.when(scope == "pair", F.col("predicate"))
+            .otherwise(F.col("dst_uuid")).alias("grp"),
+            (~F.col("predicate").isin(*EVENT_PREDICATES)).alias("closable"),
         )
-        # a point-in-time event is never closed (it only closes others)
-        .filter(~F.col("predicate").isin(*EVENT_PREDICATES))
-        .withColumn("closer", F.array_min("later_conflicts"))
-        .filter(F.col("closer").isNotNull())
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scanned = (
+        keyed.repartition(n_part, "contra_key")
+        .sortWithinPartitions("contra_key", "valid_at", "uuid")
+        .mapInPandas(_suffix_scan, _SCAN_DDL)
+    )
+    conflicts = (
+        scanned
         .groupBy("uuid")
-        .agg(F.min("closer").alias("closer"))  # min over this edge's keys
+        # one edge can appear under both scopes: earliest closer wins,
+        # (valid_at, uuid) lexicographic — same rule as the oracle
+        .agg(F.min(F.struct(
+            F.col("conflict_invalid_at"), F.col("caused_by_edge_uuid"))).alias("c"))
         .select("uuid",
-                F.col("closer.valid_at").alias("conflict_invalid_at"),
-                F.col("closer.uuid").alias("caused_by_edge_uuid"))
+                F.col("c.conflict_invalid_at").alias("conflict_invalid_at"),
+                F.col("c.caused_by_edge_uuid").alias("caused_by_edge_uuid"))
     )
 
     resolved = (

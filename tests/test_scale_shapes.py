@@ -1,0 +1,119 @@
+"""Scale-shape regressions for the round-2 refactors:
+
+- per-group union-find CC == distributed min-label propagation;
+- per-group local label propagation == join-per-round distributed LP;
+- temporal pass handles a hub subject (10^4 facts under one functional
+  predicate key) with O(n) state — the O(n²) per-row peer array this
+  replaced would materialize 10^8 struct copies here (VERDICT r1 item 4).
+"""
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import cc, communities
+from kgspark.temporal import temporal_pass
+
+BATCH_TS = datetime(2025, 1, 1)
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["group_id", "uuid_a", "uuid_b"]),
+        schema="group_id string, uuid_a string, uuid_b string")
+
+
+def test_cc_local_matches_iterative(spark):
+    rng = random.Random(7)
+    rows = []
+    for g in range(3):
+        for _ in range(200):
+            a, b = rng.randint(0, 60), rng.randint(0, 60)
+            if a != b:
+                rows.append((f"g{g}", f"g{g}-v{a:03d}", f"g{g}-v{b:03d}"))
+    pairs = _pairs_df(spark, rows)
+    local = {(r["uuid"], r["canonical_uuid"])
+             for r in cc.connected_components(pairs).collect()}
+    iterative = {(r["uuid"], r["canonical_uuid"])
+                 for r in cc.connected_components_iterative(pairs).collect()}
+    assert local == iterative
+    assert local  # non-trivial input
+
+
+def test_cc_canonical_is_min_member(spark):
+    # chain a-b-c-d within one group: everyone maps to the minimum uuid
+    pairs = _pairs_df(spark, [("g", "d", "c"), ("g", "b", "a"), ("g", "c", "b")])
+    got = {r["uuid"]: r["canonical_uuid"]
+           for r in cc.connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_lp_local_matches_distributed(spark):
+    rng = random.Random(11)
+    rows = []
+    for g in range(2):
+        # two dense clusters with a weak bridge
+        for _ in range(150):
+            c = rng.randint(0, 1)
+            a, b = rng.randint(0, 14), rng.randint(0, 14)
+            if a != b:
+                rows.append((f"g{g}", f"g{g}-c{c}-n{a:02d}", f"g{g}-c{c}-n{b:02d}"))
+        rows.append((f"g{g}", f"g{g}-c0-n00", f"g{g}-c1-n00"))
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["group_id", "source_node_uuid", "target_node_uuid"]))
+    adj = communities.adjacency(edges)
+    local = {(r["group_id"], r["uuid"], r["community_id"])
+             for r in communities.label_propagation(adj).collect()}
+    dist = {(r["group_id"], r["uuid"], r["community_id"])
+            for r in communities.label_propagation_distributed(adj).collect()}
+    assert local == dist
+
+
+TEMPORAL_SCHEMA = (
+    "uuid string, group_id string, src_uuid string, dst_uuid string, "
+    "predicate string, valid_at timestamp, invalid_at_explicit timestamp")
+
+
+def test_temporal_hub_subject_skew(spark):
+    # one celebrity subject, 10^4 LIVES_IN facts with distinct objects and
+    # strictly increasing valid_at: fact i must be closed by fact i+1
+    n = 10_000
+    base = datetime(2024, 1, 1)
+    rows = [(f"e{i:05d}", "g", "hub", f"city{i:05d}", "LIVES_IN",
+             base + timedelta(hours=i), None) for i in range(n)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["uuid", "group_id", "src_uuid", "dst_uuid",
+                                    "predicate", "valid_at", "invalid_at_explicit"]),
+        schema=TEMPORAL_SCHEMA)
+    resolved, inv = temporal_pass(edges, BATCH_TS)
+    got = {r["uuid"]: r for r in resolved.collect()}
+    assert got["e00000"]["invalid_at"] == base + timedelta(hours=1)
+    assert got["e05000"]["invalid_at"] == base + timedelta(hours=5001)
+    assert got[f"e{n-1:05d}"]["invalid_at"] is None
+    assert inv.count() == n - 1
+
+
+def test_temporal_same_group_run_skipped(spark):
+    # obj pattern A, A, B at increasing times: the first A-fact must skip the
+    # second A-fact (same conflict-group) and be closed by the B-fact — the
+    # next-group-change lookup of the suffix scan
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("e1", "g", "p", "A", "LIVES_IN", base, None),
+        ("e2", "g", "p", "A", "LIVES_IN", base + timedelta(days=10), None),
+        ("e3", "g", "p", "B", "LIVES_IN", base + timedelta(days=20), None),
+    ]
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["uuid", "group_id", "src_uuid", "dst_uuid",
+                                    "predicate", "valid_at", "invalid_at_explicit"]),
+        schema=TEMPORAL_SCHEMA)
+    resolved, inv = temporal_pass(edges, BATCH_TS)
+    got = {r["uuid"]: r for r in resolved.collect()}
+    assert got["e1"]["invalid_at"] == base + timedelta(days=20)
+    assert got["e2"]["invalid_at"] == base + timedelta(days=20)
+    assert got["e3"]["invalid_at"] is None
+    caused = {r["edge_uuid"]: r["caused_by_edge_uuid"] for r in inv.collect()}
+    assert caused == {"e1": "e3", "e2": "e3"}
