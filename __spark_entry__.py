@@ -63,15 +63,21 @@ _KG_CACHE: dict[int, dict] = {}
 
 
 def _kg(spark: SparkSession):
-    # one shared build per session: the 5 kg_* queries are views over the
-    # same DAG (driver runs them one by one)
+    # one shared build per session: the kg_* queries are views over the
+    # same DAG (driver runs them one by one). The build also materializes
+    # the extraction intermediates to parquet so the kg_* DuckDB oracles
+    # (kgspark/kg_oracle.py) can recompute linking / closure / dedup /
+    # temporal independently in SQL.
     key = id(spark)
     if key not in _KG_CACHE:
+        from kgspark import kg_oracle
         from kgspark.datagen import pages_spark
         from kgspark.pipeline import build_graph
-        out = build_graph(pages_spark(spark, KG_PAGES), check_text=False,
-                          compute_embeddings=True)
-        _KG_CACHE[key] = {k: v.localCheckpoint() for k, v in out.items()}
+        pages = pages_spark(spark, KG_PAGES)
+        out = build_graph(pages, check_text=False, compute_embeddings=True)
+        cached = {k: v.localCheckpoint() for k, v in out.items()}
+        kg_oracle.materialize(spark, pages, cached["edges"])
+        _KG_CACHE[key] = cached
     return _KG_CACHE[key]
 
 
@@ -117,13 +123,53 @@ def q_kg_bfs(spark, sf_dir):
     return ks.bfs_nodes(out["edges"], [top], depth=2).orderBy("uuid")
 
 
+def q_kg_node_distance(spark, sf_dir):
+    # shortest-path (BFS-distance) rerank from the most-mentioned node
+    # (node_distance_reranker, search_utils.py:735-772)
+    from kgspark import search as ks
+    out = _kg(spark)
+    top = (out["mentions"].groupBy("node_uuid").count()
+           .orderBy(F.desc("count"), "node_uuid").limit(1)
+           .collect()[0]["node_uuid"])
+    return ks.node_distance_rerank(out["nodes"].select("uuid"),
+                                   out["edges"], top, limit=20)
+
+
+def q_add_triplets(spark, sf_dir):
+    # direct triple assertion (add_triplet analog, graphiti.py:569-607):
+    # asserted facts route through the SAME dedup + temporal operators;
+    # the DuckDB oracle recomputes both over the same literal rows
+    from datetime import datetime
+
+    import pandas as pd
+
+    from kgspark import triplets
+    rows = [
+        ("g0", "Ana Ruiz", "LIVES_IN", "Quito City", datetime(2024, 1, 1)),
+        ("g0", "Ana Ruiz", "LIVES_IN", "Lima City", datetime(2024, 6, 1)),
+        ("g0", "Ana Ruiz", "LIVES_IN", "Quito City", datetime(2024, 1, 1)),
+        ("g0", "Bo Chen", "WORKS_FOR", "Glowco", datetime(2024, 2, 1)),
+        ("g0", "Bo Chen", "LEFT_JOB", "Glowco", datetime(2024, 9, 1)),
+    ]
+    t = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["group_id", "subject", "predicate", "object",
+                       "valid_at_explicit"]))
+    out = triplets.add_triplets(t, datetime(2025, 1, 1))
+    return out["edges"].select(
+        "uuid", "source_node_uuid", "target_node_uuid", "name", "fact",
+        "group_id", "valid_at", "invalid_at").orderBy("uuid")
+
+
 def q_kg_hybrid_search(spark, sf_dir):
     # hybrid fulltext ∪ cosine → RRF over the nodes table (search.py:73-157);
     # reuses the session-cached build (embeddings included) instead of
     # constructing a second graph
     from kgspark import search as ks
-    return ks.hybrid_search(_kg(spark)["nodes"], "name", "name_embedding",
-                            "Priya Sharma", ks.NODE_HYBRID_SEARCH_RRF)
+    out = ks.hybrid_search(_kg(spark)["nodes"], "name", "name_embedding",
+                           "Priya Sharma", ks.NODE_HYBRID_SEARCH_RRF)
+    # stable precision for the driver's value hash (sum order differs
+    # between Spark partial aggregation and the DuckDB oracle)
+    return out.select("uuid", F.round("rrf_score", 8).alias("rrf_score"))
 
 
 # ---------------------------------------------------------------------------
@@ -320,6 +366,16 @@ def q_rrf_fusion(spark, sf_dir):
     )
 
 
+def q_bm25_full(spark, sf_dir):
+    # Lucene-formula BM25 (IDF + length norm, k1=1.2 b=0.75) over documents
+    # (kgspark/fulltext.py; reference search_utils.py:143-194 via Lucene)
+    from kgspark import fulltext as flt
+    d = _t(spark, sf_dir, "documents")
+    return (flt.bm25_search(d, "text", "scan join filter", limit=25,
+                            id_col="doc_id")
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
 def q_bm25_lite(spark, sf_dir):
     # fulltext scoring analog (edge_fulltext_search, search_utils.py:143-194):
     # per-doc term-frequency scoring for a fixed query, top-k
@@ -402,46 +458,25 @@ def q_minhash_fingerprint(spark, sf_dir):
 def q_neardup_pairs(spark, sf_dir):
     # MinHash-LSH near-duplicate candidate pairs: docs sharing any of the 4
     # fingerprint bands (band groups capped at 20 to bound the pair
-    # explosion — the scale-safe LSH shape)
-    fp = q_minhash_fingerprint(spark, sf_dir)
-    pairs = None
-    for i in range(4):
-        side = fp.select(F.col("doc_id"), F.col(f"mh{i}").alias("band"))
-        sizes = side.groupBy("band").agg(F.count(F.lit(1)).alias("bc"))
-        bounded = side.join(sizes.filter((F.col("bc") >= 2) & (F.col("bc") <= 20)), "band")
-        a = bounded.select("band", F.col("doc_id").alias("doc_a"))
-        b = bounded.select("band", F.col("doc_id").alias("doc_b"))
-        p = a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b")) \
-             .select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.union(p)
-    return pairs.distinct().orderBy("doc_a", "doc_b")
+    # explosion; bands melted to rows → one shuffle for all bands)
+    from kgspark import datapipe as dp
+    d = _t(spark, sf_dir, "documents")
+    return (dp.neardup_pairs(d)
+            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            .orderBy("doc_a", "doc_b"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # n-gram (token-set) Jaccard over the LSH candidate pairs
+    # n-gram (token-set) Jaccard over the LSH candidate pairs; the pair set
+    # is materialized once instead of recomputing the LSH subtree inside
+    # each join branch
+    from kgspark import datapipe as dp
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id",
-                    F.explode(F.array_distinct(
-                        F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))).alias("tok"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = q_neardup_pairs(spark, sf_dir)
-    inter = (
-        pairs
-        .join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tok", "tok2"),
-              "doc_b")
-        .filter(F.col("tok") == F.col("tok2"))
-        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select("doc_a", "doc_b",
-                F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4)
-                .alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    pairs = dp.neardup_pairs(d).localCheckpoint()
+    return (dp.ngram_jaccard(d, pairs)
+            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+                    F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
 
 
 def q_point_in_time(spark, sf_dir):
@@ -496,20 +531,33 @@ def q_simhash_docs(spark, sf_dir):
 
 
 def q_embedding_neardups(spark, sf_dir):
-    # hyperplane-LSH blocked cosine near-dup pairs — rows-only check
+    # banded hyperplane-LSH cosine near-dups with PLANTED duplicates: copies
+    # of vec_id<25 re-inserted as vec_id+10000, so the check has a known
+    # non-empty answer (the r1 version returned 0 rows — vacuous). Exact
+    # copies always collide in every band, so LSH recall is provably 1 here
+    # and the brute-force DuckDB oracle is an exact twin.
     from kgspark import datapipe as dp
     emb = _t(spark, sf_dir, "embeddings")
-    # driver embeddings are near-random; 0.5 keeps the check non-trivial
-    return dp.embedding_neardups(emb, threshold=0.5).orderBy("id_a", "id_b")
+    planted = emb.filter("vec_id < 25").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    allv = emb.select("vec_id", "embedding").unionByName(planted)
+    return (dp.embedding_neardups(allv, threshold=0.8)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+            .orderBy("id_a", "id_b"))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    # LSH-bucketed ANN (approximate; rows-only — compare vs ann_cosine_topk)
+    # LSH-bucketed ANN run at full probe width (probe_hamming = n_planes —
+    # the nprobe=nlist exact regime, exercising the bucket path end-to-end
+    # while staying oracle-checkable); tests/test_datapipe.py pins recall
+    # for the approximate probe setting
     from kgspark import datapipe as dp
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return dp.ann_lsh(emb.filter("vec_id <> 0"), list(qv), k=10,
-                      probe_hamming=6)
+    return (dp.ann_lsh(emb.filter("vec_id <> 0"), list(qv), k=10,
+                       probe_hamming=12)
+            .select("id", F.round("cos", 4).alias("cos"))
+            .orderBy(F.desc("cos"), "id"))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -555,7 +603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_previous_instances": q_kg_previous_instances,
         "kg_communities": q_kg_communities,
         "kg_bfs": q_kg_bfs,
+        "kg_node_distance": q_kg_node_distance,
         "kg_hybrid_search": q_kg_hybrid_search,
+        "add_triplets": q_add_triplets,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "regional_revenue": q_regional_revenue,
@@ -569,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provenance_sets": q_provenance_sets,
         "mention_count_rerank": q_mention_count_rerank,
         "rrf_fusion": q_rrf_fusion,
+        "bm25_full": q_bm25_full,
         "bm25_lite": q_bm25_lite,
         "json_extract": q_json_extract,
         "exact_dup_docs": q_exact_dup_docs,
@@ -591,9 +642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgspark import kg_oracle
     dec = "::DECIMAL(18,4)"
     rev = f"l_extendedprice{dec} * (1{dec} - l_discount{dec})"
-    return {
+    return kg_oracle.oracle_queries() | {
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity{dec}), 2)::DOUBLE AS sum_qty,
@@ -691,6 +743,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(1.0 / (rank + 1)), 6) AS rrf_score
             FROM unioned GROUP BY user_id
             ORDER BY rrf_score DESC, user_id LIMIT 20
+        """,
+        "bm25_full": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dlen
+                   FROM toks GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avgdl
+                   FROM dl),
+            tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+                   WHERE tok IN ('filter', 'join', 'scan')
+                   GROUP BY doc_id, tok),
+            dfq AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS dfreq
+                    FROM tf GROUP BY tok),
+            sc AS (SELECT t.doc_id,
+                          sum(ln(1 + (s.n_docs - d.dfreq + 0.5)
+                                 / (d.dfreq + 0.5))
+                              * t.tf / (t.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * l.dlen / s.avgdl))) AS score
+                   FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id),
+                        st s
+                   GROUP BY t.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM (
+              SELECT doc_id, score FROM sc WHERE score > 0
+              ORDER BY score DESC, doc_id LIMIT 25) t
+        """,
+        "embedding_neardups": """
+            WITH allv AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id < 25)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "ann_lsh_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT id, round(c, 4) AS cos FROM (
+              SELECT vec_id AS id,
+                     list_cosine_similarity(embedding::DOUBLE[], qv) AS c
+              FROM embeddings, q WHERE vec_id <> 0
+              ORDER BY c DESC, vec_id LIMIT 10) t
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS id,
+                   octet_length(encode(text))::INT AS n_bytes,
+                   md5(text) AS content_hash,
+                   ((('0x' || substr(md5(text), 1, 4))::INT % 1920) + 1)::INT
+                       AS fake_width,
+                   ((('0x' || substr(md5(text), 5, 4))::INT % 1080) + 1)::INT
+                       AS fake_height,
+                   'stub' AS decode_status
+            FROM documents ORDER BY id
         """,
         "bm25_lite": """
             SELECT doc_id,

@@ -1,0 +1,489 @@
+"""DuckDB oracles for the flagship kg_* driver queries.
+
+The KG-construction DAG is mostly plain relational algebra over the
+deterministic extraction output. To give the driver a HARD correctness
+signal on the flagship (VERDICT r1 item 1), the session's kg build
+materializes exactly the non-SQL-expressible intermediates to parquet:
+
+- ``mentions_raw`` / ``triples_raw``  — the Arrow-UDF extraction stages
+  (kgspark/udfs.py wrapping kgspark/textcore.py);
+- ``band_keys``                       — MinHash-LSH band keys (md5 minhash,
+  textcore.minhash_band_keys);
+- ``embeddings``                      — 1024-dim hash embeddings per entity
+  (textcore.hash_embedding);
+- ``lp_labels``                       — label-propagation community labels
+  (iterative fixpoint; pinned by tests/test_communities_search.py);
+- ``query_emb``                       — the hybrid-search query embedding.
+
+Everything DOWNSTREAM is recomputed independently in DuckDB SQL:
+name normalization, distinct-entity aggregation, candidate blocking
+(bands ∪ first-token blocks), the full linking decision rule (abbreviation
+/ shingle-Jaccard / embedding-cosine thresholds), connected-components
+closure (recursive CTE), canonical node assembly, mention rewriting, edge
+dedup + provenance dates, the bi-temporal contradiction pass, BFS, and
+hybrid RRF search. A bug anywhere in the Spark DAG's algebra therefore
+shows up as a driver hash mismatch.
+
+Reference semantics: graphiti.py:189-437 lifecycle; dedup
+edge_operations.py:151-192; contradiction edge_operations.py:234-305;
+closure bulk_utils.py:314-323.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark.textcore import (
+    CONTRA_PAIR_CLASSES,
+    EVENT_PREDICATES,
+    FUNCTIONAL_PREDICATES,
+)
+
+KG_ORACLE_DIR = "/tmp/kgspark_kg_oracle"
+HYBRID_QUERY = "Priya Sharma"
+BATCH_TS_SQL = "TIMESTAMP '2025-01-01'"
+
+
+def materialize(spark: SparkSession, pages: DataFrame,
+                edges: DataFrame, out_dir: str = KG_ORACLE_DIR) -> None:
+    """Write the oracle input parquet files (single-file, atomic rename).
+
+    This is the PARITY path for the small driver fixture (240 pages), not
+    the production write path — tables are collected via toPandas and
+    written as single parquet files so the DuckDB oracle can read them by
+    absolute path.
+    """
+    import pandas as pd
+
+    from kgspark import communities, linking, udfs
+    from kgspark.textcore import hash_embedding
+
+    os.makedirs(out_dir, exist_ok=True)
+    mentions_raw = udfs.extract_mentions(pages)
+    triples_raw = udfs.extract_triples(pages)
+    entities = linking.distinct_entities(mentions_raw)
+    bands = udfs.entity_band_keys(entities.filter(~F.col("is_dynamic")))
+    emb = udfs.embed_entities(entities)
+    lp = communities.label_propagation(communities.adjacency(edges))
+    frames = {
+        "mentions_raw": mentions_raw.toPandas(),
+        "triples_raw": triples_raw.toPandas(),
+        "band_keys": bands.toPandas(),
+        "embeddings": emb.toPandas(),
+        "lp_labels": lp.toPandas(),
+        "query_emb": pd.DataFrame({"embedding": [hash_embedding(HYBRID_QUERY)]}),
+    }
+    for name, pdf in frames.items():
+        tmp = os.path.join(out_dir, f".{name}.tmp.parquet")
+        pdf.to_parquet(tmp)
+        os.replace(tmp, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def _norm(col: str) -> str:
+    """textcore.normalize_name in DuckDB."""
+    return ("trim(regexp_replace(regexp_replace(lower(" + col + "), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def _in_list(preds) -> str:
+    return ", ".join(f"'{p}'" for p in sorted(preds))
+
+
+def _pair_class_case() -> str:
+    whens = " ".join(f"WHEN '{p}' THEN '{c}'"
+                     for p, c in sorted(CONTRA_PAIR_CLASSES.items()))
+    return f"CASE predicate {whens} END"
+
+
+def _ctes(d: str) -> str:
+    """The shared CTE chain (DuckDB only evaluates referenced CTEs)."""
+    key5 = "group_id, src_uuid, predicate, dst_uuid, norm_fact"
+    return f"""
+mr AS (
+  SELECT url, group_id, warc_ts, name, label, {_norm('name')} AS norm_name
+  FROM '{d}/mentions_raw.parquet'),
+per_name AS (
+  SELECT group_id, norm_name, name, label, count(*) AS c, min(warc_ts) AS fs
+  FROM mr GROUP BY group_id, norm_name, name, label),
+entities AS MATERIALIZED (
+  SELECT group_id, norm_name, name, label, first_seen, n_mentions, ext_uuid,
+         (label = 'DynamicEvent') AS is_dynamic
+  FROM (
+    SELECT group_id, norm_name, name, label,
+           min(fs) OVER w AS first_seen,
+           CAST(sum(c) OVER w AS BIGINT) AS n_mentions,
+           md5('ent|' || group_id || '|' || norm_name) AS ext_uuid,
+           row_number() OVER (PARTITION BY group_id, norm_name
+               ORDER BY c DESC, length(name) DESC, name DESC, label DESC) AS rn
+    FROM per_name
+    WINDOW w AS (PARTITION BY group_id, norm_name)
+  ) t WHERE rn = 1),
+linkable AS (SELECT * FROM entities WHERE NOT is_dynamic),
+lkeys AS (
+  SELECT group_id, band_key, norm_name FROM '{d}/band_keys.parquet'
+  UNION ALL
+  SELECT group_id, 'tok|' || split_part(norm_name, ' ', 1) AS band_key, norm_name
+  FROM linkable),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.group_id, a.norm_name AS norm_a, b.norm_name AS norm_b
+  FROM lkeys a JOIN lkeys b
+    ON a.group_id = b.group_id AND a.band_key = b.band_key
+       AND a.norm_name < b.norm_name),
+emb AS (SELECT group_id, norm_name, name_embedding
+        FROM '{d}/embeddings.parquet'),
+attrs0 AS (
+  SELECT l.group_id, l.norm_name, l.ext_uuid, e.name_embedding::DOUBLE[] AS v,
+         '^' || l.norm_name || '$' AS padded,
+         string_split(l.norm_name, ' ') AS toks
+  FROM linkable l JOIN emb e
+    ON e.group_id = l.group_id AND e.norm_name = l.norm_name),
+attrs AS MATERIALIZED (
+  SELECT *,
+         CASE WHEN length(padded) <= 3 THEN [padded]
+              ELSE list_distinct(list_transform(range(1, length(padded) - 1),
+                   i -> substring(padded, i::INT, 3))) END AS shingles,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+              AS BIGINT) AS toklen
+  FROM attrs0),
+scored AS (
+  SELECT c.group_id, a.ext_uuid AS uuid_a, b.ext_uuid AS uuid_b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE AS jac,
+         list_cosine_similarity(a.v, b.v) AS cosv,
+         (len(a.toks) = len(b.toks) AND a.toks[1] = b.toks[1] AND
+          CASE WHEN a.toklen <= b.toklen
+               THEN len(list_filter(list_zip(a.toks, b.toks),
+                        p -> starts_with(p[2], p[1]))) = len(a.toks)
+               ELSE len(list_filter(list_zip(b.toks, a.toks),
+                        p -> starts_with(p[2], p[1]))) = len(b.toks)
+          END) AS abbrev
+  FROM cand c
+  JOIN attrs a ON a.group_id = c.group_id AND a.norm_name = c.norm_a
+  JOIN attrs b ON b.group_id = c.group_id AND b.norm_name = c.norm_b),
+accepted AS MATERIALIZED (
+  SELECT group_id, uuid_a, uuid_b FROM scored
+  WHERE abbrev OR (jac >= 0.35 AND cosv >= 0.6)),
+und AS (SELECT uuid_a AS a, uuid_b AS b FROM accepted
+        UNION SELECT uuid_b AS a, uuid_a AS b FROM accepted),
+reach AS (SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+mapping AS MATERIALIZED (SELECT a AS uuid, least(a, min(b)) AS canonical_uuid
+            FROM reach GROUP BY a),
+canon AS MATERIALIZED (
+  SELECT e.group_id, e.norm_name, e.name, e.label, e.first_seen,
+         e.n_mentions, e.ext_uuid, e.is_dynamic,
+         coalesce(m.canonical_uuid, e.ext_uuid) AS uuid
+  FROM entities e LEFT JOIN mapping m ON e.ext_uuid = m.uuid),
+node_agg AS (
+  SELECT group_id, uuid, min(first_seen) AS created_at,
+         CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+         list_sort(list_distinct(list_append(list(DISTINCT label), 'Entity')))
+           AS labels_arr
+  FROM canon GROUP BY group_id, uuid),
+node_rep AS (
+  SELECT group_id, uuid, name AS rep_name, label AS rep_label,
+         norm_name AS rep_norm
+  FROM (SELECT *, row_number() OVER (PARTITION BY group_id, uuid
+          ORDER BY n_mentions DESC, length(name) DESC, name DESC, label DESC) AS rn
+        FROM canon) t WHERE rn = 1),
+nodes AS MATERIALIZED (
+  SELECT a.uuid, r.rep_name AS name, a.group_id,
+         array_to_string(a.labels_arr, '|') AS labels,
+         a.created_at, r.rep_norm,
+         r.rep_name || ' is a ' || r.rep_label || ' mentioned in '
+           || a.n_mentions::VARCHAR || ' pages' AS summary
+  FROM node_agg a JOIN node_rep r
+    ON a.group_id = r.group_id AND a.uuid = r.uuid),
+mr_keyed AS (
+  SELECT mr.*, md5('ent|' || group_id || '|' || norm_name) AS ext_uuid FROM mr),
+mentions AS MATERIALIZED (
+  SELECT DISTINCT
+         md5('mention|' || k.url || '|'
+             || coalesce(m.canonical_uuid, k.ext_uuid)) AS uuid,
+         k.url AS episode_uuid,
+         coalesce(m.canonical_uuid, k.ext_uuid) AS node_uuid,
+         k.group_id, k.warc_ts AS created_at
+  FROM mr_keyed k LEFT JOIN mapping m ON k.ext_uuid = m.uuid),
+tr AS (SELECT *, {_norm('subject')} AS norm_subj, {_norm('object')} AS norm_obj
+       FROM '{d}/triples_raw.parquet'),
+tk AS (
+  SELECT t.url, t.group_id, t.warc_ts, t.predicate, t.fact, t.norm_fact,
+         t.valid_at_explicit, t.invalid_at_explicit,
+         es.ext_uuid AS src_raw, eo.ext_uuid AS dst_raw
+  FROM tr t
+  JOIN entities es ON es.group_id = t.group_id AND es.norm_name = t.norm_subj
+  JOIN entities eo ON eo.group_id = t.group_id AND eo.norm_name = t.norm_obj),
+base AS MATERIALIZED (
+  SELECT tk.*, coalesce(ms.canonical_uuid, src_raw) AS src_uuid,
+               coalesce(mo.canonical_uuid, dst_raw) AS dst_uuid
+  FROM tk LEFT JOIN mapping ms ON tk.src_raw = ms.uuid
+          LEFT JOIN mapping mo ON tk.dst_raw = mo.uuid
+  WHERE coalesce(ms.canonical_uuid, src_raw)
+        <> coalesce(mo.canonical_uuid, dst_raw)),
+first_occ AS (
+  SELECT {key5}, fact, warc_ts AS first_ts
+  FROM (SELECT *, row_number() OVER (PARTITION BY {key5}
+          ORDER BY warc_ts, url, fact) AS rn FROM base) t WHERE rn = 1),
+eagg AS (
+  SELECT {key5}, min(warc_ts) AS created_at
+  FROM base GROUP BY {key5}),
+lastv AS (
+  SELECT {key5}, valid_at_explicit AS lv
+  FROM (SELECT *, row_number() OVER (PARTITION BY {key5}
+          ORDER BY warc_ts DESC, url DESC, valid_at_explicit DESC) AS rn
+        FROM base WHERE valid_at_explicit IS NOT NULL) t WHERE rn = 1),
+lasti AS (
+  SELECT {key5}, invalid_at_explicit AS liv
+  FROM (SELECT *, row_number() OVER (PARTITION BY {key5}
+          ORDER BY warc_ts DESC, url DESC, invalid_at_explicit DESC) AS rn
+        FROM base WHERE invalid_at_explicit IS NOT NULL) t WHERE rn = 1),
+edges0 AS MATERIALIZED (
+  SELECT f.group_id, f.src_uuid, f.predicate, f.dst_uuid, f.norm_fact, f.fact,
+         a.created_at,
+         coalesce(lv.lv, f.first_ts) AS valid_at,
+         li.liv AS invalid_at_explicit,
+         md5('edge|' || f.group_id || '|' || f.src_uuid || '|' || f.predicate
+             || '|' || f.dst_uuid || '|' || f.norm_fact) AS uuid
+  FROM first_occ f
+  JOIN eagg a USING ({key5})
+  LEFT JOIN lastv lv USING ({key5})
+  LEFT JOIN lasti li USING ({key5})),
+keyed AS MATERIALIZED (
+  SELECT uuid, valid_at, predicate, dst_uuid AS obj, 'pair' AS scope,
+         'pair|' || {_pair_class_case()} || '|' || least(src_uuid, dst_uuid)
+           || '|' || greatest(src_uuid, dst_uuid) AS contra_key
+  FROM edges0 WHERE predicate IN ({_in_list(CONTRA_PAIR_CLASSES)})
+  UNION ALL
+  SELECT uuid, valid_at, predicate, dst_uuid, 'subj',
+         'subj|' || predicate || '|' || src_uuid
+  FROM edges0 WHERE predicate IN ({_in_list(FUNCTIONAL_PREDICATES)})),
+confl AS MATERIALIZED (
+  SELECT uuid, conflict_invalid_at, caused_by_edge_uuid FROM (
+    SELECT k1.uuid, k2.valid_at AS conflict_invalid_at,
+           k2.uuid AS caused_by_edge_uuid,
+           row_number() OVER (PARTITION BY k1.uuid
+                              ORDER BY k2.valid_at, k2.uuid) AS rn
+    FROM keyed k1 JOIN keyed k2 ON k1.contra_key = k2.contra_key
+     AND k1.valid_at IS NOT NULL AND k2.valid_at IS NOT NULL
+     AND k2.valid_at > k1.valid_at
+     AND ((k1.scope = 'pair' AND k2.predicate <> k1.predicate)
+          OR (k1.scope = 'subj' AND k2.obj <> k1.obj))
+    WHERE k1.predicate NOT IN ({_in_list(EVENT_PREDICATES)})
+  ) t WHERE rn = 1),
+edges_final AS MATERIALIZED (
+  SELECT e.uuid, e.src_uuid AS source_node_uuid,
+         e.dst_uuid AS target_node_uuid,
+         e.predicate AS name, e.fact, e.group_id, e.created_at, e.valid_at,
+         CASE WHEN e.invalid_at_explicit IS NULL THEN c.conflict_invalid_at
+              WHEN c.conflict_invalid_at IS NULL THEN e.invalid_at_explicit
+              ELSE least(e.invalid_at_explicit, c.conflict_invalid_at)
+         END AS invalid_at,
+         c.conflict_invalid_at, c.caused_by_edge_uuid, e.invalid_at_explicit
+  FROM edges0 e LEFT JOIN confl c ON e.uuid = c.uuid)
+"""
+
+
+def _add_triplets_sql() -> str:
+    """Independent recompute of q_add_triplets (__spark_entry__.py): the
+    same literal assertions through dedup + temporal algebra in SQL."""
+    return f"""
+    WITH raw AS (
+      SELECT * FROM (VALUES
+        ('g0', 'Ana Ruiz', 'LIVES_IN', 'Quito City', TIMESTAMP '2024-01-01'),
+        ('g0', 'Ana Ruiz', 'LIVES_IN', 'Lima City',  TIMESTAMP '2024-06-01'),
+        ('g0', 'Ana Ruiz', 'LIVES_IN', 'Quito City', TIMESTAMP '2024-01-01'),
+        ('g0', 'Bo Chen', 'WORKS_FOR', 'Glowco',     TIMESTAMP '2024-02-01'),
+        ('g0', 'Bo Chen', 'LEFT_JOB', 'Glowco',      TIMESTAMP '2024-09-01')
+      ) t(group_id, subject, predicate, object, valid_at_explicit)),
+    tt AS (
+      SELECT *,
+        subject || ' ' || lower(replace(predicate, '_', ' ')) || ' '
+          || object AS fact,
+        {_norm('subject')} AS norm_subj, {_norm('object')} AS norm_obj
+      FROM raw),
+    tk AS (
+      SELECT *, md5('ent|' || group_id || '|' || norm_subj) AS src_uuid,
+                md5('ent|' || group_id || '|' || norm_obj) AS dst_uuid,
+                {_norm('fact')} AS norm_fact
+      FROM tt),
+    ded AS (
+      SELECT group_id, src_uuid, predicate, dst_uuid, norm_fact,
+             min(fact) AS fact, max(valid_at_explicit) AS valid_at,
+             md5('edge|' || group_id || '|' || src_uuid || '|' || predicate
+                 || '|' || dst_uuid || '|' || norm_fact) AS uuid
+      FROM tk WHERE src_uuid <> dst_uuid
+      GROUP BY group_id, src_uuid, predicate, dst_uuid, norm_fact),
+    keyed AS (
+      SELECT uuid, valid_at, predicate, dst_uuid AS obj, 'pair' AS scope,
+             'pair|' || {_pair_class_case()} || '|' || least(src_uuid, dst_uuid)
+               || '|' || greatest(src_uuid, dst_uuid) AS contra_key
+      FROM ded WHERE predicate IN ({_in_list(CONTRA_PAIR_CLASSES)})
+      UNION ALL
+      SELECT uuid, valid_at, predicate, dst_uuid, 'subj',
+             'subj|' || predicate || '|' || src_uuid
+      FROM ded WHERE predicate IN ({_in_list(FUNCTIONAL_PREDICATES)})),
+    confl AS (
+      SELECT uuid, conflict_invalid_at FROM (
+        SELECT k1.uuid, k2.valid_at AS conflict_invalid_at,
+               row_number() OVER (PARTITION BY k1.uuid
+                                  ORDER BY k2.valid_at, k2.uuid) AS rn
+        FROM keyed k1 JOIN keyed k2 ON k1.contra_key = k2.contra_key
+         AND k2.valid_at > k1.valid_at
+         AND ((k1.scope = 'pair' AND k2.predicate <> k1.predicate)
+              OR (k1.scope = 'subj' AND k2.obj <> k1.obj))
+        WHERE k1.predicate NOT IN ({_in_list(EVENT_PREDICATES)})
+      ) t WHERE rn = 1)
+    SELECT d.uuid, d.src_uuid AS source_node_uuid,
+           d.dst_uuid AS target_node_uuid, d.predicate AS name, d.fact,
+           d.group_id, d.valid_at, c.conflict_invalid_at AS invalid_at
+    FROM ded d LEFT JOIN confl c ON d.uuid = c.uuid
+    ORDER BY d.uuid"""
+
+
+def oracle_queries(d: str = KG_ORACLE_DIR) -> dict[str, str]:
+    """DuckDB SQL twin per kg_* driver query."""
+    pre = f"WITH RECURSIVE {_ctes(d)}"
+    q = {}
+    q["kg_nodes"] = pre + """
+        SELECT uuid, name, group_id, labels, created_at, summary FROM nodes"""
+    q["kg_mentions"] = pre + """
+        SELECT uuid, episode_uuid, node_uuid, group_id, created_at FROM mentions"""
+    q["kg_edges"] = pre + f"""
+        SELECT uuid, source_node_uuid, target_node_uuid, name, fact, group_id,
+               created_at, valid_at, invalid_at,
+               CASE WHEN invalid_at IS NOT NULL THEN {BATCH_TS_SQL} END
+                 AS expired_at
+        FROM edges_final"""
+    q["kg_invalidations"] = pre + f"""
+        SELECT uuid AS edge_uuid, conflict_invalid_at AS invalid_at,
+               {BATCH_TS_SQL} AS expired_at, caused_by_edge_uuid, group_id
+        FROM edges_final
+        WHERE conflict_invalid_at IS NOT NULL
+          AND (invalid_at_explicit IS NULL
+               OR conflict_invalid_at < invalid_at_explicit)"""
+    q["kg_previous_instances"] = pre + r"""
+        , dyn AS (
+          SELECT *, trim(regexp_replace(regexp_replace(
+                 norm_name, '\d{4} \d{2} \d{2}', ' ', 'g'),
+                 ' +', ' ', 'g')) AS base
+          FROM entities WHERE is_dynamic),
+        chain AS (
+          SELECT *, lag(ext_uuid) OVER w AS prev_uuid,
+                 lag(name) OVER w AS prev_name
+          FROM dyn
+          WINDOW w AS (PARTITION BY group_id, base
+                       ORDER BY first_seen, ext_uuid))
+        SELECT md5('previnst|' || group_id || '|' || ext_uuid || '|'
+                   || prev_uuid) AS uuid,
+               ext_uuid AS source_node_uuid, prev_uuid AS target_node_uuid,
+               'PREVIOUS_INSTANCE' AS name,
+               name || ' is a recurrence of ' || prev_name AS fact,
+               group_id, first_seen AS created_at
+        FROM chain WHERE prev_uuid IS NOT NULL"""
+    q["kg_communities"] = pre + f"""
+        , lp AS (SELECT * FROM '{d}/lp_labels.parquet'),
+        sized AS (SELECT group_id, community_id FROM lp
+                  GROUP BY group_id, community_id HAVING count(*) > 1),
+        membs AS (SELECT lp.group_id, lp.uuid, lp.community_id
+                  FROM lp JOIN sized USING (group_id, community_id)),
+        cnamed AS (
+          SELECT m.group_id, m.community_id, count(*)::BIGINT AS n_members,
+                 (list_sort(list(n.name)))[1:5] AS top_names
+          FROM membs m JOIN nodes n
+            ON n.group_id = m.group_id AND n.uuid = m.uuid
+          GROUP BY m.group_id, m.community_id)
+        SELECT md5('comm|' || group_id || '|' || community_id) AS uuid,
+               group_id, community_id, n_members,
+               array_to_string(top_names, ', ') AS name,
+               'Community of ' || n_members::VARCHAR || ' entities: '
+                 || array_to_string(top_names, ', ') AS summary
+        FROM cnamed"""
+    q["kg_bfs"] = pre + """
+        , topn AS (SELECT node_uuid FROM mentions GROUP BY node_uuid
+                   ORDER BY count(*) DESC, node_uuid LIMIT 1),
+        undg AS (SELECT source_node_uuid AS a, target_node_uuid AS b
+                 FROM edges_final
+                 UNION
+                 SELECT target_node_uuid, source_node_uuid FROM edges_final),
+        d1 AS (SELECT DISTINCT u.b AS uuid FROM undg u
+               JOIN topn t ON u.a = t.node_uuid
+               WHERE u.b NOT IN (SELECT node_uuid FROM topn)),
+        d2 AS (SELECT DISTINCT u.b AS uuid FROM undg u
+               JOIN d1 ON u.a = d1.uuid
+               WHERE u.b NOT IN (SELECT node_uuid FROM topn)
+                 AND u.b NOT IN (SELECT uuid FROM d1))
+        SELECT uuid, dist FROM (
+          SELECT node_uuid AS uuid, 0 AS dist FROM topn
+          UNION ALL SELECT uuid, 1 FROM d1
+          UNION ALL SELECT uuid, 2 FROM d2) t
+        ORDER BY uuid"""
+    q["kg_node_distance"] = pre + """
+        , topn AS (SELECT node_uuid FROM mentions GROUP BY node_uuid
+                   ORDER BY count(*) DESC, node_uuid LIMIT 1),
+        undg AS (SELECT source_node_uuid AS a, target_node_uuid AS b
+                 FROM edges_final
+                 UNION
+                 SELECT target_node_uuid, source_node_uuid FROM edges_final),
+        d1 AS (SELECT DISTINCT u.b AS uuid FROM undg u
+               JOIN topn t ON u.a = t.node_uuid
+               WHERE u.b NOT IN (SELECT node_uuid FROM topn)),
+        d2 AS (SELECT DISTINCT u.b AS uuid FROM undg u JOIN d1 ON u.a = d1.uuid
+               WHERE u.b NOT IN (SELECT node_uuid FROM topn)
+                 AND u.b NOT IN (SELECT uuid FROM d1)),
+        d3 AS (SELECT DISTINCT u.b AS uuid FROM undg u JOIN d2 ON u.a = d2.uuid
+               WHERE u.b NOT IN (SELECT node_uuid FROM topn)
+                 AND u.b NOT IN (SELECT uuid FROM d1)
+                 AND u.b NOT IN (SELECT uuid FROM d2)),
+        dists AS (
+          SELECT node_uuid AS uuid, 0 AS dist FROM topn
+          UNION ALL SELECT uuid, 1 FROM d1
+          UNION ALL SELECT uuid, 2 FROM d2
+          UNION ALL SELECT uuid, 3 FROM d3)
+        SELECT n.uuid, coalesce(d.dist, 1000000000) AS dist
+        FROM nodes n LEFT JOIN dists d ON n.uuid = d.uuid
+        ORDER BY dist, n.uuid LIMIT 20"""
+    q["add_triplets"] = _add_triplets_sql()
+    q["kg_hybrid_search"] = pre + f"""
+        , nemb AS (
+          SELECT n.uuid, n.name, e.name_embedding::DOUBLE[] AS v
+          FROM nodes n JOIN emb e
+            ON e.group_id = n.group_id AND e.norm_name = n.rep_norm),
+        qe AS (SELECT embedding::DOUBLE[] AS qv FROM '{d}/query_emb.parquet'),
+        ntoks AS (SELECT uuid, unnest(list_filter(
+                    string_split_regex(lower(name), '[^a-z0-9]+'),
+                    t -> t <> '')) AS tok
+                  FROM nemb),
+        ndl AS (SELECT uuid, count(*)::DOUBLE AS dlen FROM ntoks GROUP BY uuid),
+        nst AS (SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avgdl FROM ndl),
+        ntf AS (SELECT uuid, tok, count(*)::DOUBLE AS tf FROM ntoks
+                WHERE tok IN ('priya', 'sharma') GROUP BY uuid, tok),
+        ndf AS (SELECT tok, count(DISTINCT uuid)::DOUBLE AS dfreq
+                FROM ntf GROUP BY tok),
+        -- Lucene BM25, k1=1.2 b=0.75 (kgspark/fulltext.py twin)
+        ft AS (SELECT uuid, round(score, 9) AS score FROM (
+                 SELECT t.uuid,
+                        sum(ln(1 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                            * t.tf / (t.tf + 1.2 * (1 - 0.75
+                                      + 0.75 * l.dlen / s.avgdl))) AS score
+                 FROM ntf t JOIN ndf d USING (tok) JOIN ndl l USING (uuid),
+                      nst s
+                 GROUP BY t.uuid) t
+               WHERE score > 0 ORDER BY score DESC, uuid LIMIT 40),
+        sim AS (SELECT uuid, round(score, 9) AS score FROM (
+                  SELECT n.uuid, list_cosine_similarity(n.v, q.qv) AS score
+                  FROM nemb n, qe q) t
+                WHERE score > 0.6 ORDER BY score DESC, uuid LIMIT 40),
+        ranked AS (
+          SELECT uuid, row_number() OVER (ORDER BY score DESC, uuid) AS rank
+          FROM ft
+          UNION ALL
+          SELECT uuid, row_number() OVER (ORDER BY score DESC, uuid) AS rank
+          FROM sim)
+        SELECT uuid, round(sum(1.0 / (rank + 1)), 8) AS rrf_score
+        FROM ranked GROUP BY uuid
+        ORDER BY rrf_score DESC, uuid LIMIT 20"""
+    return q

@@ -135,35 +135,45 @@ def _salted_self_join(keys: DataFrame, key_cols: list[str], payload: str) -> Dat
 
 def candidate_pairs(entities: DataFrame) -> DataFrame:
     """Blocking: MinHash-LSH bands ∪ first-token blocks -> distinct
-    (group_id, norm_name a, norm_name b) candidate pairs (a < b)."""
+    (group_id, norm_name a, norm_name b) candidate pairs (a < b).
+
+    Both key families are unioned into ONE keyed table before a SINGLE
+    salted self-join (band keys carry a ``b<i>|`` prefix, token blocks a
+    ``tok|`` prefix, so the key spaces cannot collide). One pair shuffle +
+    one distinct instead of two of each — shuffle-barrier count is the
+    full-DAG scaling bottleneck (BENCH/BASELINE.md)."""
     linkable = entities.filter(~F.col("is_dynamic"))
-    # checkpoint: the salted self-join references the band table three times
-    # (hot-key detection + both sides); without materialization the banding
-    # UDF would run three times
-    bands = udfs.entity_band_keys(linkable).localCheckpoint()
-    band_pairs = _salted_self_join(
-        bands.select("group_id", "band_key", "norm_name"),
-        ["group_id", "band_key"], "norm_name",
-    )
+    bands = udfs.entity_band_keys(linkable) \
+        .select("group_id", "band_key", "norm_name")
     blocks = linkable.select(
         "group_id",
-        F.split(F.col("norm_name"), " ").getItem(0).alias("block_key"),
+        F.concat(F.lit("tok|"),
+                 F.split(F.col("norm_name"), " ").getItem(0)).alias("band_key"),
         "norm_name",
     )
-    block_pairs = _salted_self_join(blocks, ["group_id", "block_key"], "norm_name")
-    return band_pairs.union(block_pairs).distinct() \
+    # checkpoint: the salted self-join references the keyed table three
+    # times (hot-key detection + both sides); without materialization the
+    # banding UDF would run three times
+    keys = bands.union(blocks).localCheckpoint()
+    return _salted_self_join(keys, ["group_id", "band_key"], "norm_name") \
         .withColumnRenamed("pa", "norm_a").withColumnRenamed("pb", "norm_b")
 
 
-def score_pairs(entities: DataFrame, pairs: DataFrame) -> DataFrame:
+def score_pairs(entities: DataFrame, pairs: DataFrame,
+                emb: DataFrame | None = None) -> DataFrame:
     """Apply the linking decision rule JVM-side; returns accepted alias pairs
     as (group_id, uuid_a, uuid_b).
 
     Decision (== textcore.should_link): abbreviation alias OR
     (shingle-Jaccard >= 0.35 AND embedding-cosine >= 0.6). Exact normalized
     matches were already collapsed by ``distinct_entities``.
+
+    ``emb`` (group_id, norm_name, name_embedding) lets the caller share one
+    embedding pass across the whole build (kgspark/pipeline.py computes it
+    once and reuses it for the nodes table).
     """
-    emb = udfs.embed_entities(entities.filter(~F.col("is_dynamic")))
+    if emb is None:
+        emb = udfs.embed_entities(entities.filter(~F.col("is_dynamic")))
     attrs = (
         entities.filter(~F.col("is_dynamic"))
         .select("group_id", "norm_name", "ext_uuid")
@@ -186,9 +196,18 @@ def score_pairs(entities: DataFrame, pairs: DataFrame) -> DataFrame:
         .withColumn("jac",
                     F.size(F.array_intersect("sh_a", "sh_b"))
                     / F.size(F.array_union("sh_a", "sh_b")))
+        # EXACTLY textcore.cosine: double dot / (norm_a * norm_b), same
+        # left-to-right accumulation order as the Python generator sums —
+        # bitwise-identical to the oracle's decision, and the same formula
+        # the DuckDB oracle's list_cosine_similarity computes
         .withColumn("cos",
-                    F.aggregate(F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
-                                F.lit(0.0), lambda acc, v: acc + v))
+                    F.aggregate(F.zip_with("emb_a", "emb_b",
+                                           lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, v: acc + v)
+                    / (F.sqrt(F.aggregate(F.transform("emb_a", lambda x: x * x),
+                                          F.lit(0.0), lambda acc, v: acc + v))
+                       * F.sqrt(F.aggregate(F.transform("emb_b", lambda x: x * x),
+                                            F.lit(0.0), lambda acc, v: acc + v))))
         .withColumn("len_a", F.aggregate(F.transform("tok_a", F.length),
                                          F.lit(0), lambda acc, v: acc + v))
         .withColumn("len_b", F.aggregate(F.transform("tok_b", F.length),

@@ -30,11 +30,17 @@ from kgspark import cc, dedup, linking, temporal, udfs
 
 def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
                 check_text: bool = True,
-                compute_embeddings: bool = True) -> dict[str, DataFrame]:
+                compute_embeddings: bool = True,
+                entity_types=None) -> dict[str, DataFrame]:
     """Run the full construction DAG. Returns the output tables
     (FIXTURES.md §2 schemas): nodes, edges, mentions, episodes,
     edge_invalidations, previous_instance_edges, alias_map, plus
     text_mismatches when ``check_text``.
+
+    ``entity_types``: optional kgspark.entity_types.EntityTypeRegistry —
+    custom entity labels + typed attribute schemas
+    (add_episode(entity_types=...) analog, graphiti.py:199,
+    node_operations.py:338-341).
     """
     if batch_ts is None:
         batch_ts = datetime(2025, 1, 1)
@@ -56,13 +62,16 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     # re-running the Arrow extraction over the parquet scan is cheaper than
     # materializing the full mention set, and consumers that don't need the
     # MENTIONS table (e.g. the throughput bench) then never pay for it
-    mentions_raw = udfs.extract_mentions(pages)
+    mentions_raw = udfs.extract_mentions(pages, entity_types)
 
     # stage 2: entity linking
     entities = linking.distinct_entities(mentions_raw)
     entities = entities.localCheckpoint()  # reused by 4 downstream stages
+    # ONE embedding pass per build: reused by pair scoring and the nodes
+    # table (was computed twice — VERDICT r1)
+    emb_all = udfs.embed_entities(entities).localCheckpoint()
     pairs = linking.candidate_pairs(entities)
-    alias_pairs = linking.score_pairs(entities, pairs)
+    alias_pairs = linking.score_pairs(entities, pairs, emb=emb_all)
     mapping = cc.connected_components(alias_pairs)  # ext_uuid -> canonical
     out["alias_map"] = mapping
 
@@ -99,19 +108,34 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
             F.col("rep.n").alias("rep_name"),
         )
     )
+    if entity_types is not None and entity_types.types:
+        # stamp registered attribute schemas onto typed nodes (dynamic
+        # Pydantic model analog, node_operations.py:338-341)
+        empty = F.map_from_arrays(F.array().cast("array<string>"),
+                                  F.array().cast("array<string>"))
+        chain = empty
+        for t in entity_types.types:
+            if t.attributes:
+                kv = [x for pair in t.attributes
+                      for x in (F.lit(pair[0]), F.lit(pair[1]))]
+                chain = F.when(
+                    F.element_at(F.col("attributes"), "entity_type") == t.name,
+                    F.create_map(*kv)).otherwise(chain)
+        node_rows = node_rows.withColumn(
+            "attributes", F.map_concat("attributes", chain))
     if compute_embeddings:
-        emb = udfs.embed_entities(
-            node_rows.select("group_id", F.col("rep_name").alias("name"),
-                             udfs.norm_name_col(F.col("rep_name")).alias("norm_name")))
+        # reuse the per-entity embedding table: hash_embedding is a function
+        # of the normalized name, so the representative name's embedding is
+        # exactly the matching entity row's embedding
         nodes = (
             node_rows
             .withColumn("norm_name", udfs.norm_name_col(F.col("rep_name")))
-            .join(emb, ["group_id", "norm_name"], "left")
+            .join(emb_all, ["group_id", "norm_name"], "left")
             .drop("rep_name", "norm_name")
         )
     else:
         nodes = node_rows.withColumn(
-            "name_embedding", F.lit(None).cast("array<float>")).drop("rep_name")
+            "name_embedding", F.lit(None).cast("array<double>")).drop("rep_name")
     out["nodes"] = nodes
 
     # stage 4: MENTIONS table (edges.py:81-96)
@@ -199,7 +223,7 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
         edges_resolved = edges_resolved.join(edge_emb, ["group_id", "norm_fact"], "left")
     else:
         edges_resolved = edges_resolved.withColumn(
-            "fact_embedding", F.lit(None).cast("array<float>"))
+            "fact_embedding", F.lit(None).cast("array<double>"))
 
     edges = (
         edges_resolved

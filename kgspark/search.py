@@ -23,10 +23,19 @@ MAX_SEARCH_DEPTH = 3      # search_utils.py:52
 
 
 # ---------------------------------------------------------------------------
-# fulltext (BM25-lite) — edge_fulltext_search / node_fulltext_search
-# (search_utils.py:143-194,329-373). Lucene is replaced by tokenized TF-IDF
-# scoring; the 32-term cap mirrors fulltext_query (search_utils.py:53-73).
+# fulltext — edge_fulltext_search / node_fulltext_search
+# (search_utils.py:143-194,329-373). The hybrid orchestrator scores with
+# real Lucene-formula BM25 (kgspark/fulltext.py — IDF + length norm +
+# lucene_sanitize); the TF-only scorer below is kept as the cheap
+# "bm25-lite" variant.
 # ---------------------------------------------------------------------------
+
+from kgspark.fulltext import (  # noqa: E402  (re-exported operator surface)
+    bm25_search,
+    cross_encoder_rerank,
+    fulltext_terms,
+    lucene_sanitize,
+)
 
 def _tokens(col):
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
@@ -190,9 +199,11 @@ class SearchConfig:
     """search_config.py:32-106 analog."""
     limit: int = 20
     min_score: float = DEFAULT_MIN_SCORE
-    reranker: str = "rrf"           # rrf | mmr | mention_count | node_distance
+    # rrf | mmr | mention_count | node_distance | cross_encoder
+    reranker: str = "rrf"
     center_uuid: str | None = None
     mmr_lambda: float = DEFAULT_MMR_LAMBDA
+    fulltext_method: str = "bm25"   # bm25 (Lucene formula) | tf (lite)
 
 
 # Recipe presets (search_config_recipes.py:31-202 analog): the reference's
@@ -209,6 +220,12 @@ NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(reranker="mention_count")
 COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(reranker="rrf")
 COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(reranker="mmr")
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig(reranker="rrf")
+# cross-encoder variants (search_config_recipes.py:66,122,167,196) — the
+# scorer is a pluggable pandas-UDF hook (fulltext.cross_encoder_rerank)
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(reranker="cross_encoder")
+NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(reranker="cross_encoder")
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(reranker="cross_encoder")
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(reranker="cross_encoder")
 
 
 def priority_boost(results: DataFrame, edges: DataFrame, episodes: DataFrame,
@@ -257,15 +274,26 @@ def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
                   mentions: DataFrame | None = None,
                   edges: DataFrame | None = None,
                   group_ids: list[str] | None = None) -> DataFrame:
-    """bm25 ∪ cosine → dedup-by-uuid → reranker (search.py:189-238 shape)."""
+    """bm25 ∪ cosine → dedup-by-uuid → reranker (search.py:189-238 shape).
+
+    Scores are rounded to 9 decimals before rank assignment so rankings are
+    reproducible across engines (float sum order differs between Spark
+    partial aggregation and single-process oracles)."""
     qv = search_text_query(query)
-    ft = fulltext_search(df, text_col, query, config.limit * 2, group_ids)
+    if config.fulltext_method == "bm25":
+        ft = bm25_search(df, text_col, query, config.limit * 2, group_ids)
+    else:
+        ft = fulltext_search(df, text_col, query, config.limit * 2, group_ids)
+    ft = ft.withColumn("score", F.round("score", 9))
     sim = similarity_search(df, emb_col, qv, config.limit * 2,
                             config.min_score, group_ids)
+    sim = sim.withColumn("score", F.round("score", 9))
     if config.reranker == "rrf":
         return rrf([ft, sim], limit=config.limit)
     merged = (ft.select("uuid").union(sim.select("uuid")).distinct()
               .join(df, "uuid"))
+    if config.reranker == "cross_encoder":
+        return cross_encoder_rerank(merged, text_col, query, limit=config.limit)
     if config.reranker == "mmr":
         return mmr_rerank(merged, emb_col, qv, config.mmr_lambda, config.limit)
     if config.reranker == "mention_count":

@@ -163,13 +163,19 @@ def split_sentences(text: str) -> list[str]:
     return out
 
 
-def extract_mentions(text: str) -> list[Mention]:
+def extract_mentions(text: str, classifier=None) -> list[Mention]:
     """Detect entity mentions in one page's text.
 
     Mirrors the reference extraction rules (prompts/extract_nodes.py:89-102):
     speaker-first for message rows, Title-Case named entities, dynamic events
     kept unique by embedded date, no bare-date/month nodes.
+
+    ``classifier`` (name -> label) overrides the built-in classify_name —
+    the pluggable entity-type hook (add_episode(entity_types=...) analog,
+    graphiti.py:199; see kgspark/entity_types.py).
     """
+    if classifier is None:
+        classifier = classify_name
     seen: set[str] = set()
     mentions: list[Mention] = []
     offset = 0
@@ -196,7 +202,7 @@ def extract_mentions(text: str) -> list[Mention]:
                 continue  # single initials / stray capitals are noise
             if name not in seen:
                 seen.add(name)
-                mentions.append(Mention(name, classify_name(name), offset + mt.start()))
+                mentions.append(Mention(name, classifier(name), offset + mt.start()))
         offset += len(sent) + 2
     return mentions
 

@@ -45,13 +45,18 @@ MENTIONS_DDL = ("url string, group_id string, warc_ts timestamp, "
                 "name string, label string")
 
 
-def extract_mentions(pages: DataFrame) -> DataFrame:
+def extract_mentions(pages: DataFrame, entity_types=None) -> DataFrame:
+    """``entity_types``: optional EntityTypeRegistry — custom labels win
+    over the built-in classifier (kgspark/entity_types.py)."""
+    from kgspark.entity_types import make_classifier
+    classifier = make_classifier(entity_types)
+
     def run(batches):
         for pdf in batches:
             out = {"url": [], "group_id": [], "warc_ts": [], "name": [], "label": []}
             for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
                                           pdf["warc_ts"], pdf["text"]):
-                for m in tc.extract_mentions(text):
+                for m in tc.extract_mentions(text, classifier):
                     out["url"].append(url)
                     out["group_id"].append(gid)
                     out["warc_ts"].append(ts)
@@ -104,7 +109,13 @@ def _embed_unique(names: pd.Series) -> pd.Series:
     return names.map(uniq)
 
 
-EMBED_DDL = "group_id string, norm_name string, name_embedding array<float>"
+# Embeddings carry full double precision end-to-end: the linking decision is
+# thresholded (cosine >= 0.6), so the Spark DAG, the single-process oracle
+# (python doubles) and the DuckDB oracle must all see the SAME values or
+# borderline pairs flip and canonicalization diverges. At 10^12 scale the
+# stored column would be fp32 with a re-embed on the link path; parity wins
+# here.
+EMBED_DDL = "group_id string, norm_name string, name_embedding array<double>"
 BANDS_DDL = "group_id string, norm_name string, band_key string"
 
 

@@ -53,9 +53,30 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     assert len(set(brute) & set(lsh)) >= 5
 
 
+def test_ann_lsh_full_probe_is_exact(spark, emb):
+    # probe_hamming = n_planes probes every bucket (the nprobe=nlist exact
+    # regime): the result must equal brute force bit-for-bit
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    brute = [(r["id"], round(r["cos"], 9)) for r in dp.ann_bruteforce(
+        emb.filter("vec_id <> 0"), list(qv), k=10).collect()]
+    lsh = [(r["id"], round(r["cos"], 9)) for r in dp.ann_lsh(
+        emb.filter("vec_id <> 0"), list(qv), k=10, probe_hamming=12).collect()]
+    assert brute == lsh
+
+
 def test_embedding_neardups_bounded(spark, emb):
     out = dp.embedding_neardups(emb, threshold=0.9)
     assert out.filter("id_a >= id_b").count() == 0
+
+
+def test_embedding_neardups_planted_recall(spark, emb):
+    # exact copies must always collide in every LSH band -> recall 1
+    planted = emb.filter("vec_id < 25").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    allv = emb.select("vec_id", "embedding").unionByName(planted)
+    got = {(r["id_a"], r["id_b"])
+           for r in dp.embedding_neardups(allv, threshold=0.8).collect()}
+    assert {(i, i + 10000) for i in range(25)} <= got
 
 
 def test_language_id(spark, docs):

@@ -1,0 +1,194 @@
+"""Round-2 extension operators: real BM25 + lucene_sanitize, cross-encoder
+hook, entity-type registry, add_triplets, merge_upsert, and coverage for the
+three round-1-untested ops (entity_community, node_distance_rerank,
+clear_data)."""
+
+import math
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import communities, fulltext, io, search, triplets
+from kgspark.entity_types import EntityType, EntityTypeRegistry
+
+BATCH_TS = datetime(2025, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# fulltext
+# ---------------------------------------------------------------------------
+
+def test_lucene_sanitize():
+    # helpers.py:39-73 escape map, incl. the fork's O/R/N/T/A/D letters
+    assert fulltext.lucene_sanitize("a+b") == r"a\+b"
+    assert fulltext.lucene_sanitize("x AND y") == r"x \A\N\D y"
+    assert fulltext.lucene_sanitize('q~*?:"') == r"q\~\*\?\:\""
+    assert fulltext.lucene_sanitize("plain words") == "plain words"
+
+
+def test_fulltext_terms_cap():
+    q = " ".join(f"w{i}" for i in range(50))
+    assert len(fulltext.fulltext_terms(q)) == 32
+
+
+def _bm25_py(docs, query_terms, k1=1.2, b=0.75):
+    toks = {i: [t for t in text.lower().split() if t] for i, text in docs}
+    dl = {i: len(ts) for i, ts in toks.items() if ts}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    scores = {}
+    for term in query_terms:
+        df = sum(1 for ts in toks.values() if term in ts)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, ts in toks.items():
+            tf = ts.count(term)
+            if tf:
+                scores[i] = scores.get(i, 0.0) + idf * tf / (
+                    tf + k1 * (1 - b + b * dl[i] / avgdl))
+    return scores
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs = [(1, "spark shuffle join join"), (2, "join"),
+            (3, "broadcast join shuffle"), (4, "scan only text here"),
+            (5, "shuffle shuffle shuffle")]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["uuid", "fact"]))
+    got = {r["uuid"]: r["score"] for r in
+           fulltext.bm25_search(df, "fact", "join shuffle", limit=10).collect()}
+    want = _bm25_py(docs, ["join", "shuffle"])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_cross_encoder_rerank(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "delta")],
+        columns=["uuid", "fact"]))
+    out = fulltext.cross_encoder_rerank(df, "fact", "alpha beta", limit=3).collect()
+    assert [r["uuid"] for r in out] == [2, 1, 3]
+    assert out[0]["ce_score"] == 1.0
+
+
+def test_cross_encoder_recipes_exist():
+    for name in ("EDGE_HYBRID_SEARCH_CROSS_ENCODER",
+                 "NODE_HYBRID_SEARCH_CROSS_ENCODER",
+                 "COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER",
+                 "COMBINED_HYBRID_SEARCH_CROSS_ENCODER"):
+        assert getattr(search, name).reranker == "cross_encoder"
+
+
+# ---------------------------------------------------------------------------
+# entity-type registry
+# ---------------------------------------------------------------------------
+
+def test_entity_type_registry_end_to_end(spark):
+    from kgspark.datagen import pages_spark
+    from kgspark.pipeline import build_graph
+
+    registry = EntityTypeRegistry(types=(
+        EntityType(name="Metro", suffixes=("City",),
+                   attributes=(("kind", "place"), ("tier", "metro"))),
+    ))
+    out = build_graph(pages_spark(spark, 60), check_text=False,
+                      compute_embeddings=False, entity_types=registry)
+    metros = out["nodes"].filter(F.array_contains("labels", "Metro")).collect()
+    assert metros, "registry label must reach the nodes table"
+    attrs = metros[0]["attributes"]
+    assert attrs["entity_type"] == "Metro"
+    assert attrs["kind"] == "place" and attrs["tier"] == "metro"
+    # built-in labels still applied to unmatched names
+    assert out["nodes"].filter(F.array_contains("labels", "Person")).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# add_triplets
+# ---------------------------------------------------------------------------
+
+def test_add_triplets_bitemporal(spark):
+    rows = [
+        ("g", "Ana Ruiz", "LIVES_IN", "Quito City", datetime(2024, 1, 1)),
+        ("g", "Ana Ruiz", "LIVES_IN", "Lima City", datetime(2024, 6, 1)),
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["group_id", "subject", "predicate",
+                                    "object", "valid_at_explicit"]))
+    out = triplets.add_triplets(t, BATCH_TS)
+    edges = {(r["target_node_uuid"], r["invalid_at"] is not None)
+             for r in out["edges"].collect()}
+    assert len(edges) == 2
+    inv = out["edge_invalidations"].collect()
+    assert len(inv) == 1  # the Quito fact is superseded by the Lima fact
+    nodes = {r["name"] for r in out["nodes"].collect()}
+    assert nodes == {"Ana Ruiz", "Quito City", "Lima City"}
+    ed = {r["name"]: r for r in out["edges"].collect()}
+    assert ed["LIVES_IN"] is not None
+    closed = [r for r in out["edges"].collect() if r["invalid_at"] is not None]
+    assert len(closed) == 1 and closed[0]["invalid_at"] == datetime(2024, 6, 1)
+
+
+def test_merge_upsert_row_level(spark, tmp_path):
+    base = str(tmp_path / "store")
+    df1 = spark.createDataFrame(pd.DataFrame(
+        [("u1", "g0", "one"), ("u2", "g0", "two"), ("u3", "g1", "three")],
+        columns=["uuid", "group_id", "payload"]))
+    io.merge_upsert(spark, base, "nodes", df1)
+    # update u2, insert u4, touch only g0 — g1's partition must be untouched
+    df2 = spark.createDataFrame(pd.DataFrame(
+        [("u2", "g0", "TWO"), ("u4", "g0", "four")],
+        columns=["uuid", "group_id", "payload"]))
+    n = io.merge_upsert(spark, base, "nodes", df2)
+    got = {r["uuid"]: r["payload"]
+           for r in io.read_table(spark, base, "nodes").collect()}
+    assert got == {"u1": "one", "u2": "TWO", "u3": "three", "u4": "four"}
+    assert n == 3  # rewrote only g0's rows
+
+
+# ---------------------------------------------------------------------------
+# round-1-untested operators
+# ---------------------------------------------------------------------------
+
+def _toy_graph(spark):
+    rows = [("g", f"n{a}", f"n{b}") for a, b in
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]]
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["group_id", "source_node_uuid", "target_node_uuid"]))
+
+
+def test_entity_community_incremental_attach(spark):
+    edges = _toy_graph(spark)
+    adj = communities.adjacency(edges)
+    labels = communities.label_propagation(adj)
+    attached = {r["uuid"]: r["community_id"]
+                for r in communities.entity_community(labels, adj).collect()}
+    base = {r["uuid"]: r["community_id"] for r in labels.collect()}
+    # every node with neighbors attaches to the modal neighbor community —
+    # for converged LP labels that is consistent with the labels themselves
+    assert set(attached) == set(base)
+    agree = sum(attached[u] == base[u] for u in base)
+    assert agree / len(base) >= 0.8
+
+
+def test_node_distance_rerank(spark):
+    edges = _toy_graph(spark)
+    cands = spark.createDataFrame(
+        pd.DataFrame({"uuid": ["n1", "n3", "n6", "n9"]}))
+    out = search.node_distance_rerank(cands, edges, "n1", limit=10).collect()
+    order = [r["uuid"] for r in out]
+    assert order == ["n1", "n3", "n6", "n9"]  # 0 hop, 1 hop, 3 hops, unreachable
+    dists = {r["uuid"]: r["dist"] for r in out}
+    assert dists["n1"] == 0 and dists["n3"] == 1 and dists["n6"] == 3
+    assert dists["n9"] >= 10 ** 9
+
+
+def test_clear_data(spark, tmp_path):
+    from kgspark.maintenance import clear_data
+    base = tmp_path / "out"
+    (base / "nodes").mkdir(parents=True)
+    (base / "nodes" / "x.parquet").write_text("stub")
+    clear_data(spark, str(base))
+    assert not base.exists()
