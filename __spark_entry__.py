@@ -792,6 +792,30 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings, q WHERE vec_id <> 0
               ORDER BY c DESC, vec_id LIMIT 10) t
         """,
+        "simhash_docs": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(
+                  regexp_extract_all(text, '[a-z0-9]+'))) AS tok
+              FROM documents),
+            h AS (SELECT doc_id, md5_number_upper(tok)::UBIGINT AS h64
+                  FROM toks),
+            bits AS (SELECT doc_id, r.j,
+                            CASE WHEN (h64 >> r.j) & 1 = 1 THEN 1 ELSE -1 END
+                              AS v
+                     FROM h, range(64) r(j)),
+            acc AS (SELECT doc_id, j, sum(v) AS a FROM bits
+                    GROUP BY doc_id, j),
+            sig AS (SELECT doc_id,
+                           sum(CASE WHEN a > 0 THEN (1::HUGEINT << j::INT)
+                               ELSE 0::HUGEINT END) AS s
+                    FROM acc GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   CAST(CASE WHEN coalesce(s, 0) >= 9223372036854775808::HUGEINT
+                             THEN coalesce(s, 0) - 18446744073709551616::HUGEINT
+                             ELSE coalesce(s, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+            ORDER BY id
+        """,
         "multimodal_features": """
             SELECT doc_id AS id,
                    octet_length(encode(text))::INT AS n_bytes,

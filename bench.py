@@ -29,6 +29,11 @@ KG_BENCH_PAGES = int(os.environ.get("KGSPARK_BENCH_PAGES", "40000"))
 # overhead (JIT, python-worker spinup, per-job scheduling)
 SCALING_PAGES = int(os.environ.get("KGSPARK_SCALING_PAGES", "400000"))
 SCALING_RICHNESS = int(os.environ.get("KGSPARK_SCALING_RICHNESS", "3"))
+# N and 4N parallelism levels (north rule allows any N vs 4N pairing; the
+# sandbox VM's single-JVM effective-parallelism ceiling makes lower N the
+# representative pairing — see BENCH/BASELINE.md)
+SCALING_LEVELS = tuple(int(x) for x in
+                       os.environ.get("KGSPARK_SCALING_LEVELS", "8,32").split(","))
 
 
 def _spark(cpus: int):
@@ -145,7 +150,7 @@ def run_child_extract(cpus: int) -> None:
 
 def run_scaling_extract() -> None:
     results = {}
-    for cpus in (8, 32):
+    for cpus in SCALING_LEVELS:
         p = subprocess.run(
             [sys.executable, __file__, "--child-extract", str(cpus)],
             capture_output=True, text=True, check=False, cwd=str(Path(__file__).parent))
@@ -154,10 +159,12 @@ def run_scaling_extract() -> None:
             print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
             raise SystemExit(f"child-extract local[{cpus}] failed")
         results[cpus] = json.loads(line[-1].removeprefix("CHILD_RESULT "))
-    r8, r32 = results[8]["pages_per_sec"], results[32]["pages_per_sec"]
-    eff = round((r32 / r8) / 4.0, 3)
-    out = {"stage": "extraction", "local8": results[8], "local32": results[32],
-           "speedup": round(r32 / r8, 2), "scaling_efficiency": eff}
+    lo, hi = SCALING_LEVELS
+    r_lo, r_hi = results[lo]["pages_per_sec"], results[hi]["pages_per_sec"]
+    eff = round((r_hi / r_lo) / (hi / lo), 3)
+    out = {"stage": "extraction", f"local{lo}": results[lo],
+           f"local{hi}": results[hi], "levels": [lo, hi],
+           "speedup": round(r_hi / r_lo, 2), "scaling_efficiency": eff}
     print(json.dumps(out, indent=2))
     bench_dir = Path(__file__).parent / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -166,8 +173,9 @@ def run_scaling_extract() -> None:
 
 
 def run_scaling() -> None:
+    lo, hi = SCALING_LEVELS
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         p = subprocess.run(
             [sys.executable, __file__, "--child", str(cpus)],
             capture_output=True, text=True, check=False, cwd=str(Path(__file__).parent))
@@ -176,11 +184,12 @@ def run_scaling() -> None:
             print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
             raise SystemExit(f"child local[{cpus}] failed")
         results[cpus] = json.loads(line[-1].removeprefix("CHILD_RESULT "))
-    t8, t32 = results[8]["triples_per_sec"], results[32]["triples_per_sec"]
+    t_lo, t_hi = results[lo]["triples_per_sec"], results[hi]["triples_per_sec"]
     # efficiency of scaling parallelism 4x: throughput ratio / core ratio
-    eff = round((t32 / t8) / 4.0, 3)
-    out = {"local8": results[8], "local32": results[32],
-           "speedup": round(t32 / t8, 2), "scaling_efficiency": eff,
+    eff = round((t_hi / t_lo) / (hi / lo), 3)
+    out = {f"local{lo}": results[lo], f"local{hi}": results[hi],
+           "levels": [lo, hi],
+           "speedup": round(t_hi / t_lo, 2), "scaling_efficiency": eff,
            "pages": SCALING_PAGES, "richness": SCALING_RICHNESS}
     print(json.dumps(out, indent=2))
     bench_dir = Path(__file__).parent / "BENCH"

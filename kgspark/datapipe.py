@@ -112,8 +112,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
             for i, text in enumerate(pdf[text_col]):
                 acc = np.zeros(64, dtype=np.int64)
                 for tok in set(tok_re.findall(text)):
+                    # little-endian first-8 md5 bytes == DuckDB's
+                    # md5_number_upper, so the DuckDB oracle can recompute
+                    # the signature bit-for-bit
                     h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big")
+                        hashlib.md5(tok.encode()).digest()[:8], "little")
                     bits = np.fromiter(((h >> j) & 1 for j in range(64)),
                                        dtype=np.int64, count=64)
                     acc += 2 * bits - 1

@@ -45,9 +45,11 @@ def distinct_entities(mentions: DataFrame) -> DataFrame:
     ``ext_uuid`` is deterministic (md5 of group + normalized name) so both
     the Spark DAG and the oracle agree on pre-canonicalization identity.
     """
+    if "norm_name" not in mentions.columns:
+        mentions = mentions.withColumn(
+            "norm_name", udfs.norm_name_col(F.col("name")))
     per_name = (
         mentions
-        .withColumn("norm_name", udfs.norm_name_col(F.col("name")))
         .groupBy("group_id", "norm_name", "name", "label")
         .agg(F.count(F.lit(1)).alias("c"), F.min("warc_ts").alias("fs"))
     )

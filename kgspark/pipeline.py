@@ -141,7 +141,6 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     # stage 4: MENTIONS table (edges.py:81-96)
     mention_keyed = (
         mentions_raw
-        .withColumn("norm_name", udfs.norm_name_col(F.col("name")))
         .withColumn("ext_uuid", F.md5(F.concat_ws(
             "|", F.lit("ent"), F.col("group_id"), F.col("norm_name"))))
     )
@@ -195,8 +194,6 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
         "group_id", "norm_name", F.col("ext_uuid"))
     triples_keyed = (
         triples_raw
-        .withColumn("norm_subj", udfs.norm_name_col(F.col("subject")))
-        .withColumn("norm_obj", udfs.norm_name_col(F.col("object")))
         # name -> uuid resolution is a join on (group, normalized name)
         # (replaces the per-episode dict at edge_operations.py:84,129-135);
         # AQE broadcasts the entity side when it fits, else sort-merge.

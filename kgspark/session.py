@@ -38,6 +38,12 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         # has 128G; a small heap makes 32 concurrent tasks GC-bound and
         # wrecks scaling long before data volume does)
         .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "48g"))
+        # memory-backed shuffle dirs: local-mode shuffles otherwise hit the
+        # sandbox VM's disk and serialize every wide stage behind I/O — a
+        # real cluster shuffles over NVMe + network. tmpfs is the honest
+        # local stand-in (the box has 126G of /dev/shm)
+        .config("spark.local.dir",
+                os.environ.get("KGSPARK_LOCAL_DIR", "/dev/shm/kgspark-tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local-bench corpora are a few hundred MB; the 128MB default split

@@ -42,26 +42,37 @@ def extract_text(pages: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MENTIONS_DDL = ("url string, group_id string, warc_ts timestamp, "
-                "name string, label string")
+                "name string, label string, norm_name string")
 
 
 def extract_mentions(pages: DataFrame, entity_types=None) -> DataFrame:
     """``entity_types``: optional EntityTypeRegistry — custom labels win
-    over the built-in classifier (kgspark/entity_types.py)."""
+    over the built-in classifier (kgspark/entity_types.py).
+
+    Emits ``norm_name`` directly: normalization is memoized per distinct
+    name inside the already-running Python stage, which keeps the heavily
+    allocating Java-regex normalization out of the multi-million-row hot
+    path (it inflated CPU ~4x at high thread counts — BENCH/BASELINE.md)."""
     from kgspark.entity_types import make_classifier
     classifier = make_classifier(entity_types)
 
     def run(batches):
+        norm_memo: dict[str, str] = {}
         for pdf in batches:
-            out = {"url": [], "group_id": [], "warc_ts": [], "name": [], "label": []}
+            out = {"url": [], "group_id": [], "warc_ts": [], "name": [],
+                   "label": [], "norm_name": []}
             for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
                                           pdf["warc_ts"], pdf["text"]):
                 for m in tc.extract_mentions(text, classifier):
+                    nn = norm_memo.get(m.name)
+                    if nn is None:
+                        nn = norm_memo[m.name] = tc.normalize_name(m.name)
                     out["url"].append(url)
                     out["group_id"].append(gid)
                     out["warc_ts"].append(ts)
                     out["name"].append(m.name)
                     out["label"].append(m.label)
+                    out["norm_name"].append(nn)
             yield pd.DataFrame(out)
 
     return pages.select("url", "group_id", "warc_ts", "text").mapInPandas(run, MENTIONS_DDL)
@@ -75,11 +86,22 @@ def extract_mentions(pages: DataFrame, entity_types=None) -> DataFrame:
 TRIPLES_DDL = ("url string, group_id string, warc_ts timestamp, "
                "subject string, predicate string, object string, fact string, "
                "valid_at_explicit timestamp, invalid_at_explicit timestamp, "
-               "explicit_dates boolean, norm_fact string")
+               "explicit_dates boolean, norm_fact string, "
+               "norm_subj string, norm_obj string")
 
 
 def extract_triples(pages: DataFrame) -> DataFrame:
+    """Emits ``norm_subj``/``norm_obj`` directly (memoized python
+    normalization — see extract_mentions note)."""
     def run(batches):
+        norm_memo: dict[str, str] = {}
+
+        def norm(s):
+            nn = norm_memo.get(s)
+            if nn is None:
+                nn = norm_memo[s] = tc.normalize_name(s)
+            return nn
+
         for pdf in batches:
             rows = []
             for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
@@ -88,11 +110,12 @@ def extract_triples(pages: DataFrame) -> DataFrame:
                 for t in tc.extract_triples(text, ref):
                     rows.append((url, gid, ts, t.subject, t.predicate, t.object,
                                  t.fact, t.valid_at, t.invalid_at,
-                                 t.explicit_dates, tc.normalize_fact(t.fact)))
+                                 t.explicit_dates, tc.normalize_fact(t.fact),
+                                 norm(t.subject), norm(t.object)))
             yield pd.DataFrame(rows, columns=[
                 "url", "group_id", "warc_ts", "subject", "predicate", "object",
                 "fact", "valid_at_explicit", "invalid_at_explicit",
-                "explicit_dates", "norm_fact"])
+                "explicit_dates", "norm_fact", "norm_subj", "norm_obj"])
 
     return pages.select("url", "group_id", "warc_ts", "text").mapInPandas(run, TRIPLES_DDL)
 
