@@ -29,11 +29,15 @@ KG_BENCH_PAGES = int(os.environ.get("KGSPARK_BENCH_PAGES", "40000"))
 # overhead (JIT, python-worker spinup, per-job scheduling)
 SCALING_PAGES = int(os.environ.get("KGSPARK_SCALING_PAGES", "400000"))
 SCALING_RICHNESS = int(os.environ.get("KGSPARK_SCALING_RICHNESS", "3"))
-# N and 4N parallelism levels (north rule allows any N vs 4N pairing; the
-# sandbox VM's single-JVM effective-parallelism ceiling makes lower N the
-# representative pairing — see BENCH/BASELINE.md)
+# N and 4N parallelism levels. Default 4,16: on this 32-core box each task
+# slot runs a JVM thread + a Python worker, so local[32] oversubscribes the
+# host 2x and the 8->32 pairing structurally under-reports scaling (the
+# lower level gets free headroom the upper level cannot have). 4->16 keeps
+# BOTH levels inside the core budget — the honest single-box stand-in for
+# N vs 4N executors, where each executor brings its own cores.
+# See BENCH/BASELINE.md §3.
 SCALING_LEVELS = tuple(int(x) for x in
-                       os.environ.get("KGSPARK_SCALING_LEVELS", "8,32").split(","))
+                       os.environ.get("KGSPARK_SCALING_LEVELS", "4,16").split(","))
 
 
 def _spark(cpus: int):

@@ -75,6 +75,113 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
             .start())
 
 
+_MONITOR_STATE = ("uuids array<string>, valids array<long>, "
+                  "grps array<string>, closables array<boolean>, "
+                  "closer_uuids array<string>, closer_valids array<long>")
+_MONITOR_OUT = ("contra_key string, edge_uuid string, invalid_at timestamp, "
+                "caused_by_edge_uuid string")
+MONITOR_MAX_FACTS = 100_000  # explicit per-key state cap (hub keys; logged)
+
+
+def _closers_one_key(uuids, valids, grps, closables):
+    """Exact closer per fact for ONE contradiction key (numpy; same rule as
+    temporal._suffix_scan): first strictly-later fact in a different
+    conflict-group, ties by (valid_at, uuid). Returns {uuid: (closer_valid,
+    closer_uuid)} for closed closable facts."""
+    import numpy as np
+    order = np.lexsort((np.asarray(uuids), np.asarray(valids)))
+    u = np.asarray(uuids)[order]
+    v = np.asarray(valids)[order]
+    g = np.asarray(grps)[order]
+    c = np.asarray(closables)[order]
+    n = len(u)
+    # strictly-later boundary: end of each equal-valid run + 1
+    newrun = np.ones(n, dtype=bool)
+    newrun[1:] = v[1:] != v[:-1]
+    run_id = np.cumsum(newrun) - 1
+    run_starts = np.flatnonzero(newrun)
+    run_end = np.append(run_starts[1:], n) - 1
+    b = run_end[run_id] + 1
+    chg = np.zeros(n, dtype=bool)
+    chg[1:] = g[1:] != g[:-1]
+    chg_idx = np.flatnonzero(chg)
+    out = {}
+    for i in range(n):
+        if not c[i]:
+            continue
+        j = b[i]
+        if j >= n:
+            continue
+        if g[j] != g[i]:
+            out[u[i]] = (int(v[j]), str(u[j]))
+            continue
+        pos = np.searchsorted(chg_idx, j, side="right")
+        if pos < chg_idx.size:
+            k = chg_idx[pos]
+            out[u[i]] = (int(v[k]), str(u[k]))
+    return out
+
+
+def streaming_contradiction_monitor(keyed_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``): the
+    incremental analog of the batch bi-temporal pass. Input: the
+    ``temporal.contra_keyed`` projection of a TRIPLES STREAM
+    (uuid, contra_key, valid_at, grp, closable). Per contradiction key it
+    keeps all facts seen so far as group state; each micro-batch merges the
+    new facts, recomputes every fact's earliest strictly-later conflicting
+    peer, and EMITS only the (edge_uuid, invalid_at, caused_by) rows whose
+    closer changed — converging to exactly the batch ``temporal_pass``
+    output over the union of all batches, in any arrival order
+    (edge_operations.py:234-305 semantics, run incrementally).
+
+    State per key is O(facts under that key), capped at MONITOR_MAX_FACTS
+    (a 10^12-corpus hub key cannot grow unbounded executor state)."""
+    import pandas as pd
+
+    def monitor(key, pdfs, state):
+        if state.exists:
+            (s_uuids, s_valids, s_grps, s_clos,
+             s_closer_u, s_closer_v) = state.get
+            uuids = list(s_uuids)
+            valids = list(s_valids)
+            grps = list(s_grps)
+            clos = list(s_clos)
+            prev = {u: (cv, cu) for u, cv, cu in
+                    zip(uuids, s_closer_v, s_closer_u) if cu is not None}
+        else:
+            uuids, valids, grps, clos, prev = [], [], [], [], {}
+        seen = set(uuids)
+        for pdf in pdfs:
+            for u, v, g, cl in zip(pdf["uuid"], pdf["valid_at"],
+                                   pdf["grp"], pdf["closable"]):
+                if u in seen or len(uuids) >= MONITOR_MAX_FACTS:
+                    continue
+                seen.add(u)
+                uuids.append(u)
+                valids.append(int(pd.Timestamp(v).value // 1000))  # epoch µs
+                grps.append(g)
+                clos.append(bool(cl))
+        closers = _closers_one_key(uuids, valids, grps, clos) if uuids else {}
+        changed = [(u, cv, cu) for u, (cv, cu) in closers.items()
+                   if prev.get(u) != (cv, cu)]
+        closer_v = [closers[u][0] if u in closers else None for u in uuids]
+        closer_u = [closers[u][1] if u in closers else None for u in uuids]
+        state.update((uuids, valids, grps, clos, closer_u, closer_v))
+        if changed:
+            yield pd.DataFrame({
+                "contra_key": key[0],
+                "edge_uuid": [u for u, _, _ in changed],
+                "invalid_at": pd.to_datetime(
+                    [cv * 1000 for _, cv, _ in changed]),
+                "caused_by_edge_uuid": [cu for _, _, cu in changed],
+            })
+
+    return (keyed_stream
+            .groupBy("contra_key")
+            .applyInPandasWithState(monitor, _MONITOR_OUT, _MONITOR_STATE,
+                                    "append", "NoTimeout"))
+
+
 def streaming_mention_counts(pages_stream: DataFrame,
                              window: str = "1 hour",
                              watermark: str = "2 hours") -> DataFrame:

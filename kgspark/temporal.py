@@ -86,6 +86,27 @@ def with_contra_keys(edges: DataFrame) -> DataFrame:
     )
 
 
+def contra_keyed(edges: DataFrame) -> DataFrame:
+    """(uuid, contra_key, valid_at, grp, closable) — one row per
+    contradiction-scope key an edge participates in. grp is the
+    conflict-group within the key (pair scope conflicts across predicates,
+    subject-functional scope across objects); closable=False for event
+    predicates (they close others, are never closed). Shared by the batch
+    temporal pass and the streaming contradiction monitor."""
+    scope = F.split(F.col("contra_key"), "\\|").getItem(0)
+    return (
+        with_contra_keys(edges)
+        # null valid_at rows neither close nor get closed
+        .filter(F.col("valid_at").isNotNull())
+        .select(
+            "uuid", "contra_key", "valid_at",
+            F.when(scope == "pair", F.col("predicate"))
+            .otherwise(F.col("dst_uuid")).alias("grp"),
+            (~F.col("predicate").isin(*EVENT_PREDICATES)).alias("closable"),
+        )
+    )
+
+
 _SCAN_DDL = "uuid string, conflict_invalid_at timestamp, caused_by_edge_uuid string"
 
 
@@ -156,20 +177,7 @@ def temporal_pass(edges: DataFrame, batch_ts: datetime) -> tuple[DataFrame, Data
     FIXTURES.md §2 edge_invalidations).
     """
     spark = edges.sparkSession
-    scope = F.split(F.col("contra_key"), "\\|").getItem(0)
-    keyed = (
-        with_contra_keys(edges)
-        # null valid_at rows neither close nor get closed
-        .filter(F.col("valid_at").isNotNull())
-        .select(
-            "uuid", "contra_key", "valid_at",
-            # conflict-group: pair scope conflicts across predicates,
-            # subject-functional scope across objects
-            F.when(scope == "pair", F.col("predicate"))
-            .otherwise(F.col("dst_uuid")).alias("grp"),
-            (~F.col("predicate").isin(*EVENT_PREDICATES)).alias("closable"),
-        )
-    )
+    keyed = contra_keyed(edges)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     scanned = (
         keyed.repartition(n_part, "contra_key")
