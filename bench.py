@@ -88,12 +88,15 @@ def run_default() -> None:
                 "token_stats"]
     times: dict[str, float] = {}
     total0 = time.time()
+    # kg first, after a small warmup: measured in a quiet session instead
+    # of inheriting 13 queries' worth of GC/cached-block pollution
+    kg_job(spark, 3000)
+    kg = kg_job(spark, KG_BENCH_PAGES)
+    times["kg_build"] = kg["sec"]
     for name in headline:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
-    kg = kg_job(spark, KG_BENCH_PAGES)
-    times["kg_build"] = kg["sec"]
     total = round(time.time() - total0, 2)
     print(json.dumps({
         "metric": "kg_construct_bench_total",

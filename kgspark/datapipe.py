@@ -243,6 +243,46 @@ def ann_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
     return ann_bruteforce(sub, query_vec, k, id_col, emb_col)
 
 
+def build_ann_index(emb: DataFrame, path: str, n_planes: int = 12,
+                    id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> None:
+    """Persist an LSH-bucketed ANN index: vectors + their sign-projection
+    bucket, written as parquet PARTITIONED BY bucket. A query then reads
+    only the probed buckets' partitions (partition pruning at the scan —
+    the IVF-file/nprobe layout), instead of recomputing buckets over the
+    whole table per query (the r1 weakness). At 10^12 scale this is the
+    difference between a full scan and touching a handful of partitions."""
+    vecs = emb.select(id_col, emb_col)
+    buckets = hyperplane_buckets(vecs, n_planes, id_col, emb_col) \
+        .withColumnRenamed("id", id_col)
+    (vecs.join(buckets, id_col)
+         .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def ann_query_indexed(spark, path: str, query_vec: list[float], k: int = 10,
+                      n_planes: int = 12, probe_hamming: int = 2,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> DataFrame:
+    """Top-k over a persisted ANN index: enumerate buckets within
+    ``probe_hamming`` sign flips of the query's bucket, scan ONLY those
+    partitions (`bucket IN (...)` prunes at the parquet source), exact
+    cosine rescore."""
+    from itertools import combinations
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(query_vec), n_planes)
+    qbits = [(1 if s else 0) for s in (planes @ qv) > 0]
+    probes = []
+    for dist in range(probe_hamming + 1):
+        for flips in combinations(range(n_planes), dist):
+            bits = list(qbits)
+            for f in flips:
+                bits[f] ^= 1
+            probes.append("".join(map(str, bits)))
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return ann_bruteforce(idx, query_vec, k, id_col, emb_col)
+
+
 def embedding_neardups(emb: DataFrame, threshold: float = 0.95,
                        n_planes: int = 16, n_bands: int = 2,
                        id_col: str = "vec_id", emb_col: str = "embedding",

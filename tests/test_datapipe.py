@@ -64,6 +64,27 @@ def test_ann_lsh_full_probe_is_exact(spark, emb):
     assert brute == lsh
 
 
+def test_ann_indexed_matches_bruteforce(spark, emb, tmp_path):
+    # persisted bucket-partitioned index at full probe == brute force, and
+    # the probed scan must prune partitions (bucket IN filter at the source)
+    path = str(tmp_path / "ann_index")
+    rest = emb.filter("vec_id <> 0")
+    dp.build_ann_index(rest, path)
+    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    brute = [(r["id"], round(r["cos"], 9))
+             for r in dp.ann_bruteforce(rest, qv, k=10).collect()]
+    idx_full = [(r["id"], round(r["cos"], 9))
+                for r in dp.ann_query_indexed(spark, path, qv, k=10,
+                                              probe_hamming=12).collect()]
+    assert idx_full == brute
+    approx = {r["id"] for r in dp.ann_query_indexed(spark, path, qv, k=10,
+                                                    probe_hamming=6).collect()}
+    assert len(approx & {i for i, _ in brute}) >= 5
+    plan = dp.ann_query_indexed(spark, path, qv, k=10, probe_hamming=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan or "bucket#" in plan
+
+
 def test_embedding_neardups_bounded(spark, emb):
     out = dp.embedding_neardups(emb, threshold=0.9)
     assert out.filter("id_a >= id_b").count() == 0
