@@ -58,11 +58,23 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
             .select("url")
         )
 
-    # stage 1: mention detection (vectorized). Deliberately NOT checkpointed:
-    # re-running the Arrow extraction over the parquet scan is cheaper than
-    # materializing the full mention set, and consumers that don't need the
-    # MENTIONS table (e.g. the throughput bench) then never pay for it
-    mentions_raw = udfs.extract_mentions(pages, entity_types)
+    # stage 1: extraction (vectorized Arrow UDFs). Default is the SPLIT
+    # two-pass path: mentions and triples are each re-derived from the page
+    # scan and nothing is materialized — Spark overlaps the two scans and
+    # the parquet read is cheap. KGSPARK_FUSED_EXTRACTION=1 switches to a
+    # single fused mapInPandas stage (textcore.extract_page) that parses
+    # each page once and materializes the event set; ABAB-benched at
+    # local[8]/400k pages the fused path LOST (65.4s vs 55.6s and 78.5s vs
+    # 36.9s) — the localCheckpoint materialization + union-schema row
+    # building costs more than the extra regex passes it saves — so it
+    # stays an opt-in experiment knob.
+    import os
+    if os.environ.get("KGSPARK_FUSED_EXTRACTION", "0") == "1":
+        events = udfs.extract_page_events(pages, entity_types).localCheckpoint()
+        mentions_raw, triples_raw = udfs.split_events(events)
+    else:
+        mentions_raw = udfs.extract_mentions(pages, entity_types)
+        triples_raw = udfs.extract_triples(pages)
 
     # stage 2: entity linking
     entities = linking.distinct_entities(mentions_raw)
@@ -189,7 +201,6 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     out["previous_instance_edges"] = prev_inst
 
     # stage 6: triples -> canonical endpoints -> dedup -> temporal pass
-    triples_raw = udfs.extract_triples(pages)
     ent_key = entities.select(
         "group_id", "norm_name", F.col("ext_uuid"))
     triples_keyed = (

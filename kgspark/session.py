@@ -38,6 +38,11 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         # has 128G; a small heap makes 32 concurrent tasks GC-bound and
         # wrecks scaling long before data volume does)
         .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "48g"))
+        # JVM knob passthrough for experiments (A/B'd ParallelGC vs G1:
+        # G1 wins on this DAG — allocation-heavy wide aggs benefit from
+        # region evacuation; default stays the JVM default)
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("KGSPARK_JAVA_OPTS", ""))
         # memory-backed shuffle dirs: local-mode shuffles otherwise hit the
         # sandbox VM's disk and serialize every wide stage behind I/O — a
         # real cluster shuffles over NVMe + network. tmpfs is the honest

@@ -121,6 +121,75 @@ def extract_triples(pages: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fused extraction: one page scan emits BOTH mentions and triples
+# (textcore.extract_page; row kind 'm' | 't')
+# ---------------------------------------------------------------------------
+
+EVENTS_DDL = ("kind string, url string, group_id string, warc_ts timestamp, "
+              "name string, label string, norm_name string, "
+              "subject string, predicate string, object string, fact string, "
+              "valid_at_explicit timestamp, invalid_at_explicit timestamp, "
+              "explicit_dates boolean, norm_fact string, "
+              "norm_subj string, norm_obj string")
+
+_M_COLS = ["url", "group_id", "warc_ts", "name", "label", "norm_name"]
+_T_COLS = ["url", "group_id", "warc_ts", "subject", "predicate", "object",
+           "fact", "valid_at_explicit", "invalid_at_explicit",
+           "explicit_dates", "norm_fact", "norm_subj", "norm_obj"]
+
+
+def extract_page_events(pages: DataFrame, entity_types=None) -> DataFrame:
+    """One mapInPandas stage over the page scan producing the union of
+    MENTIONS_DDL rows (kind='m') and TRIPLES_DDL rows (kind='t') — the
+    pipeline materializes this once instead of scanning + parsing every page
+    twice (extract_triples re-detects mentions per sentence, so the split
+    UDFs cost ~3 regex passes per page; this costs one —
+    textcore.extract_page)."""
+    from kgspark.entity_types import make_classifier
+    classifier = make_classifier(entity_types)
+
+    def run(batches):
+        norm_memo: dict[str, str] = {}
+
+        def norm(s):
+            nn = norm_memo.get(s)
+            if nn is None:
+                nn = norm_memo[s] = tc.normalize_name(s)
+            return nn
+
+        for pdf in batches:
+            rows = []
+            for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
+                                          pdf["warc_ts"], pdf["text"]):
+                ms, tps = tc.extract_page(text, ts.to_pydatetime(), classifier)
+                for m in ms:
+                    rows.append(("m", url, gid, ts, m.name, m.label,
+                                 norm(m.name), None, None, None, None,
+                                 None, None, None, None, None, None))
+                for t in tps:
+                    rows.append(("t", url, gid, ts, None, None, None,
+                                 t.subject, t.predicate, t.object, t.fact,
+                                 t.valid_at, t.invalid_at, t.explicit_dates,
+                                 tc.normalize_fact(t.fact),
+                                 norm(t.subject), norm(t.object)))
+            yield pd.DataFrame(rows, columns=[
+                "kind", "url", "group_id", "warc_ts", "name", "label",
+                "norm_name", "subject", "predicate", "object", "fact",
+                "valid_at_explicit", "invalid_at_explicit", "explicit_dates",
+                "norm_fact", "norm_subj", "norm_obj"])
+
+    return pages.select("url", "group_id", "warc_ts", "text") \
+        .mapInPandas(run, EVENTS_DDL)
+
+
+def split_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """events -> (mentions_raw, triples_raw) with the split-UDF schemas."""
+    mentions = events.filter(F.col("kind") == "m").select(*_M_COLS)
+    triples = events.filter(F.col("kind") == "t").select(*_T_COLS)
+    return mentions, triples
+
+
+# ---------------------------------------------------------------------------
 # Embeddings + LSH band keys (EmbedderClient analog + blocking;
 # embedder/client.py:22, search_utils.py:638-676)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,39 @@
+"""One fused kg_job run over a pre-generated corpus, with knobs.
+
+Usage: python tools/kgjob_once.py <pages_dir> <cpus> <shuffle_partitions>
+Prints RESULT {...} with wall seconds. For A/B-ing session knobs on the
+same input without paying generation each time.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    pages_dir, cpus, parts = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    from kgspark.pipeline import build_graph
+    from kgspark.session import get_spark
+    spark = get_spark("kgjob-once", cpus=cpus, shuffle_partitions=parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(pages_dir)
+    # warmup
+    wp = pages.limit(2000).localCheckpoint()
+    build_graph(wp, check_text=False, compute_embeddings=False)["edges"].count()
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        n = build_graph(pages, check_text=False,
+                        compute_embeddings=False)["edges"].count()
+        runs.append(round(time.time() - t0, 2))
+    print("RESULT " + json.dumps({"cpus": cpus, "parts": parts,
+                                  "edges": n, "runs_sec": runs,
+                                  "best": min(runs)}))
+
+
+if __name__ == "__main__":
+    main()
