@@ -29,15 +29,27 @@ KG_BENCH_PAGES = int(os.environ.get("KGSPARK_BENCH_PAGES", "40000"))
 # overhead (JIT, python-worker spinup, per-job scheduling)
 SCALING_PAGES = int(os.environ.get("KGSPARK_SCALING_PAGES", "400000"))
 SCALING_RICHNESS = int(os.environ.get("KGSPARK_SCALING_RICHNESS", "3"))
-# N and 4N parallelism levels. Default 4,16: on this 32-core box each task
-# slot runs a JVM thread + a Python worker, so local[32] oversubscribes the
-# host 2x and the 8->32 pairing structurally under-reports scaling (the
-# lower level gets free headroom the upper level cannot have). 4->16 keeps
-# BOTH levels inside the core budget — the honest single-box stand-in for
-# N vs 4N executors, where each executor brings its own cores.
-# See BENCH/BASELINE.md §3.
+# N and 4N parallelism levels. Default 8,32 (the brief's suggested pairing),
+# with each child PINNED to exactly N host cores (taskset) — see below.
 SCALING_LEVELS = tuple(int(x) for x in
-                       os.environ.get("KGSPARK_SCALING_LEVELS", "4,16").split(","))
+                       os.environ.get("KGSPARK_SCALING_LEVELS", "8,32").split(","))
+# Core pinning (default on): an N-core executor runs its JVM task threads,
+# GC, JIT, AND Python workers inside those N cores. Unpinned local[N] on a
+# 32-core host lets the low level borrow the whole machine for GC/JIT/
+# Arrow workers (local[2] gets 32 GC threads), subsidizing it and
+# under-reporting scaling; the high level meanwhile is contended. Pinning
+# each child to cores 0..N-1 gives BOTH levels the same JVM+Python
+# oversubscription ratio — the faithful single-box stand-in for an N-core
+# executor. (Verified: under taskset the JVM ergonomics follow the
+# affinity mask, e.g. ParallelGCThreads drops to N.)
+PIN_CORES = os.environ.get("KGSPARK_PIN_CORES", "1") == "1"
+
+
+def _child_cmd(flag: str, cpus: int) -> list[str]:
+    cmd = [sys.executable, __file__, flag, str(cpus)]
+    if PIN_CORES and cpus < (os.cpu_count() or cpus):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    return cmd
 
 
 def _spark(cpus: int):
@@ -61,8 +73,14 @@ def kg_job(spark, n_pages: int, richness: int = 1) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="kgbench_pages_")
     t0 = time.time()
-    pages_spark(spark, n_pages, richness=richness).write.mode("overwrite") \
-        .partitionBy("group_id").parquet(tmp)
+    # fixed 128 write partitions regardless of session cores: the group
+    # distribution is deliberately skewed (g1 ≈ 2/3 of pages) and parquet
+    # scan splits cannot subdivide a file, so few/fat files turn the
+    # extraction stage into a handful of straggler tasks. 128 ~1MB files
+    # give every parallelism level the same balanced, finely-splittable
+    # layout — the local stand-in for a well-bucketed Iceberg table.
+    pages_spark(spark, n_pages, richness=richness, partitions=128) \
+        .write.mode("overwrite").parquet(tmp)
     gen_sec = time.time() - t0
 
     pages = spark.read.parquet(tmp)
@@ -112,19 +130,33 @@ def run_default() -> None:
     }))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    total = sum(vals[:8])
+    return total, vals[7]  # (all ticks, steal ticks)
+
+
 def run_child(cpus: int) -> None:
     spark = _spark(cpus)
     # warmup: a small end-to-end pass compiles codegen, spins python
     # workers, warms the JIT — steady-state throughput is what scales to a
     # long-running cluster job, not single-JVM cold-start costs
     kg_job(spark, 3000)
-    # best-of-N: the sandbox VM has measurable CPU steal (noisy neighbors);
-    # the faster run is the closer estimate of machine capability
+    # best-of-N: the sandbox VM has bursty co-tenant interference (steal +
+    # shared cache/bandwidth); each run records the host steal%% over its
+    # window so contaminated runs are visible, and the fastest run is the
+    # closest estimate of machine capability
     n_runs = int(os.environ.get("KGSPARK_SCALING_RUNS", "2"))
-    runs = [kg_job(spark, SCALING_PAGES, SCALING_RICHNESS) for _ in range(n_runs)]
+    runs, steals = [], []
+    for _ in range(n_runs):
+        t0, s0 = _cpu_ticks()
+        runs.append(kg_job(spark, SCALING_PAGES, SCALING_RICHNESS))
+        t1, s1 = _cpu_ticks()
+        steals.append(round(100 * (s1 - s0) / max(t1 - t0, 1), 1))
     res = max(runs, key=lambda r: r["triples_per_sec"])
     res["cpus"] = cpus
     res["runs_sec"] = [r["sec"] for r in runs]
+    res["steal_pct"] = steals
     print("CHILD_RESULT " + json.dumps(res))
 
 
@@ -138,7 +170,8 @@ def extract_job(spark, n_pages: int, richness: int = 3) -> dict:
     from kgspark.datagen import pages_spark
 
     tmp = tempfile.mkdtemp(prefix="kgbench_xpages_")
-    pages_spark(spark, n_pages, richness=richness).write.mode("overwrite").parquet(tmp)
+    pages_spark(spark, n_pages, richness=richness, partitions=128) \
+        .write.mode("overwrite").parquet(tmp)
     pages = spark.read.parquet(tmp)
     t0 = time.time()
     n_m = udfs.extract_mentions(pages).count()
@@ -162,7 +195,7 @@ def run_scaling_extract() -> None:
     results = {}
     for cpus in SCALING_LEVELS:
         p = subprocess.run(
-            [sys.executable, __file__, "--child-extract", str(cpus)],
+            _child_cmd("--child-extract", cpus),
             capture_output=True, text=True, check=False, cwd=str(Path(__file__).parent))
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]
         if not line:
@@ -187,7 +220,7 @@ def run_scaling() -> None:
     results = {}
     for cpus in (lo, hi):
         p = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus)],
+            _child_cmd("--child", cpus),
             capture_output=True, text=True, check=False, cwd=str(Path(__file__).parent))
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]
         if not line:
@@ -198,7 +231,7 @@ def run_scaling() -> None:
     # efficiency of scaling parallelism 4x: throughput ratio / core ratio
     eff = round((t_hi / t_lo) / (hi / lo), 3)
     out = {f"local{lo}": results[lo], f"local{hi}": results[hi],
-           "levels": [lo, hi],
+           "levels": [lo, hi], "pinned": PIN_CORES,
            "speedup": round(t_hi / t_lo, 2), "scaling_efficiency": eff,
            "pages": SCALING_PAGES, "richness": SCALING_RICHNESS}
     print(json.dumps(out, indent=2))

@@ -12,14 +12,23 @@ episode extracted dates — edge_operations.py:280-284).
 
 Scale shape: hub facts (the same assertion crawled from tens of thousands of
 pages) skew a naive groupBy — one reducer would absorb the whole duplicate
-class. The aggregation therefore runs in TWO phases with an explicit salt on
-the provenance url (north-rule hub salting): phase 1 aggregates per
-(class, salt) spreading each hub class over N_SALTS reducers; phase 2 merges
-the per-salt partials. min/max merge losslessly; provenance merges as
-set-union then is CAPPED at ``max_provenance`` urls (smallest-first,
-deterministic) with the exact total kept in ``n_occurrences`` — an explicit,
-logged bound, not a silent truncation (a 10^12-corpus hub fact cannot carry
-an unbounded episodes array).
+class. Two plans share one aggregate definition:
+
+- single-phase (default): ONE exchange keyed on the duplicate class; Spark's
+  map-side partial aggregation is the combiner, so a hub class reaches its
+  reducer as one partial row per map task — load per reducer is
+  O(map_tasks), not O(occurrences). Right whenever per-class duplicate
+  factors are moderate (the measured regime here: ~8 occurrences/class).
+- two-phase salted (``n_salts>0``): an explicit provenance-url salt spreads
+  one class over ``n_salts`` reducers before a second merge exchange — the
+  north-rule hub treatment for classes hot enough that even one partial row
+  per map task overwhelms a reducer (10^5+ map tasks on a 10^12-doc corpus).
+
+min/max merge losslessly; provenance merges as set-union then is CAPPED at
+``max_provenance`` urls (smallest-first, deterministic) with the exact total
+kept in ``n_occurrences`` — an explicit, logged bound, not a silent
+truncation (a 10^12-corpus hub fact cannot carry an unbounded episodes
+array).
 """
 
 from __future__ import annotations
@@ -33,33 +42,60 @@ MAX_PROVENANCE = 1000
 KEY = ["group_id", "src_uuid", "predicate", "dst_uuid", "norm_fact"]
 
 
-def dedup_edges(triples: DataFrame, n_salts: int = N_SALTS,
+def _class_aggs(max_provenance: int) -> list:
+    """The per-duplicate-class aggregate set. Every aggregate is an
+    associative-commutative merge, so the same list serves both the
+    single-phase plan and the salted partial phase."""
+    return [
+        F.min(F.struct(F.col("warc_ts"), F.col("url"),
+                       F.col("fact"))).alias("first_occ"),
+        F.max(F.when(F.col("valid_at_explicit").isNotNull(),
+                     F.struct("warc_ts", "url", "valid_at_explicit"))).alias("last_valid"),
+        F.max(F.when(F.col("invalid_at_explicit").isNotNull(),
+                     F.struct("warc_ts", "url", "invalid_at_explicit"))).alias("last_invalid"),
+        F.slice(F.array_sort(F.collect_set("url")), 1,
+                max_provenance).alias("episodes"),
+        F.min("warc_ts").alias("created_at"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    ]
+
+
+def _finalize(classes: DataFrame) -> DataFrame:
+    """Project the merged per-class aggregate row to the edge schema."""
+    return classes.select(
+        *KEY,
+        F.col("first_occ.fact").alias("fact"),
+        "episodes", "created_at", "n_occurrences",
+        # valid_at: last explicit restatement wins, else the first
+        # occurrence's crawl time (present-tense default — prompt rule 3,
+        # prompts/extract_edge_dates.py:81)
+        F.coalesce(F.col("last_valid.valid_at_explicit"),
+                   F.col("first_occ.warc_ts")).alias("valid_at"),
+        F.col("last_invalid.invalid_at_explicit").alias("invalid_at_explicit"),
+    ).withColumn("uuid", F.md5(F.concat_ws(
+        "|", F.lit("edge"), F.col("group_id"), F.col("src_uuid"),
+        F.col("predicate"), F.col("dst_uuid"), F.col("norm_fact"))))
+
+
+def dedup_edges(triples: DataFrame, n_salts: int = 0,
                 max_provenance: int = MAX_PROVENANCE) -> DataFrame:
     """triples: group_id, src_uuid, dst_uuid, predicate, fact, norm_fact,
     url, warc_ts, valid_at_explicit, invalid_at_explicit.
 
     Returns one edge row per duplicate-class with merged provenance.
+    ``n_salts=0`` (default) = single-phase plan; ``n_salts>0`` = explicit
+    two-phase hub salting (see module docstring for when each wins).
     """
-    salted = (
-        triples
-        .filter(F.col("src_uuid") != F.col("dst_uuid"))  # self-loop drop (bulk_utils.py:385-386)
-        .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
-    )
+    base = triples.filter(F.col("src_uuid") != F.col("dst_uuid"))  # self-loop drop (bulk_utils.py:385-386)
+
+    if n_salts == 0:
+        return _finalize(base.groupBy(*KEY).agg(*_class_aggs(max_provenance)))
+
     partial = (
-        salted
+        base
+        .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
         .groupBy(*KEY, "salt")
-        .agg(
-            F.min(F.struct(F.col("warc_ts"), F.col("url"),
-                           F.col("fact"))).alias("first_occ"),
-            F.max(F.when(F.col("valid_at_explicit").isNotNull(),
-                         F.struct("warc_ts", "url", "valid_at_explicit"))).alias("last_valid"),
-            F.max(F.when(F.col("invalid_at_explicit").isNotNull(),
-                         F.struct("warc_ts", "url", "invalid_at_explicit"))).alias("last_invalid"),
-            F.slice(F.array_sort(F.collect_set("url")), 1,
-                    max_provenance).alias("eps"),
-            F.min("warc_ts").alias("created_at_p"),
-            F.count(F.lit(1)).alias("n_occ"),
-        )
+        .agg(*_class_aggs(max_provenance))
     )
     merged = (
         partial
@@ -68,24 +104,10 @@ def dedup_edges(triples: DataFrame, n_salts: int = N_SALTS,
             F.min("first_occ").alias("first_occ"),
             F.max("last_valid").alias("last_valid"),
             F.max("last_invalid").alias("last_invalid"),
-            F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("eps")))),
+            F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("episodes")))),
                     1, max_provenance).alias("episodes"),
-            F.min("created_at_p").alias("created_at"),
-            F.sum("n_occ").alias("n_occurrences"),
+            F.min("created_at").alias("created_at"),
+            F.sum("n_occurrences").alias("n_occurrences"),
         )
-        .select(
-            *KEY,
-            F.col("first_occ.fact").alias("fact"),
-            "episodes", "created_at", "n_occurrences",
-            # valid_at: last explicit restatement wins, else the first
-            # occurrence's crawl time (present-tense default — prompt rule 3,
-            # prompts/extract_edge_dates.py:81)
-            F.coalesce(F.col("last_valid.valid_at_explicit"),
-                       F.col("first_occ.warc_ts")).alias("valid_at"),
-            F.col("last_invalid.invalid_at_explicit").alias("invalid_at_explicit"),
-        )
-        .withColumn("uuid", F.md5(F.concat_ws(
-            "|", F.lit("edge"), F.col("group_id"), F.col("src_uuid"),
-            F.col("predicate"), F.col("dst_uuid"), F.col("norm_fact"))))
     )
-    return merged
+    return _finalize(merged)

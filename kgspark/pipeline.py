@@ -78,7 +78,15 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
 
     # stage 2: entity linking
     entities = linking.distinct_entities(mentions_raw)
-    entities = entities.localCheckpoint()  # reused by 4 downstream stages
+    # spread the materialized entity table across the cluster BEFORE
+    # checkpointing: AQE coalesces the distinct aggregation's output to a
+    # single partition at bench scale (tiny bytes), which would serialize
+    # every downstream Python stage over entities (MinHash banding is
+    # ~2.2ms/name of pure Python — a 4.5s one-task stage at 2k entities,
+    # hours at web scale). The repartition costs one exchange of the
+    # already-tiny table.
+    dp = pages.sparkSession.sparkContext.defaultParallelism
+    entities = entities.repartition(dp).localCheckpoint()  # reused by 4 downstream stages
     # ONE embedding pass per build: reused by pair scoring and the nodes
     # table (was computed twice — VERDICT r1)
     emb_all = udfs.embed_entities(entities).localCheckpoint()

@@ -50,7 +50,22 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         .config("spark.local.dir",
                 os.environ.get("KGSPARK_LOCAL_DIR", "/dev/shm/kgspark-tmp"))
         .config("spark.ui.enabled", "false")
+        # event-log knob for offline stage/job attribution
+        # (tools/joblog_report.py); off unless a dir is given
+        .config("spark.eventLog.enabled",
+                "true" if os.environ.get("KGSPARK_EVENTLOG") else "false")
+        .config("spark.eventLog.dir",
+                os.environ.get("KGSPARK_EVENTLOG", "/tmp"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # collect_set/collect_list aggregations (edge provenance merge) run
+        # as ObjectHashAggregate, whose sort-based fallback triggers at 128
+        # distinct keys per task (!) — the dedup stages hold 10^4-10^5
+        # classes per task, so the default silently degrades them to a full
+        # sort on the fat 5-string class key. States are bounded (episode
+        # arrays are capped), so hash aggregation is safe at a few million
+        # in-flight groups per task.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                str(4 * 1024 * 1024))
         # local-bench corpora are a few hundred MB; the 128MB default split
         # would cap scan parallelism below the core count (on a real cluster
         # with TB-scale tables the default is fine — this only lowers the

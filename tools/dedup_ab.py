@@ -1,0 +1,108 @@
+"""Isolated A/B bench for dedup_edges variants.
+
+Materializes the canonical-triples input (the dedup input in the real DAG)
+once to parquet, then times each variant over the same input several times.
+
+Usage: [taskset -c 0-7] python tools/dedup_ab.py <pages> <cpus> <variant>[,variant...]
+Variants: base (current two-phase salted), nofallback (base + high
+ObjectHashAggregate fallback threshold), nosalt, sortscan.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def materialize_input(spark, n_pages: int, path: str):
+    from kgspark import cc, linking, udfs
+    from kgspark.datagen import pages_spark
+
+    richness = int(os.environ.get("KGSPARK_SCALING_RICHNESS", "3"))
+    pages_dir = f"/dev/shm/kgprof_pages_{n_pages}"
+    if not Path(pages_dir, "_SUCCESS").exists():
+        pages_spark(spark, n_pages, richness=richness, partitions=128) \
+            .write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    from pyspark.sql import functions as F  # noqa: N812
+    mentions_raw = udfs.extract_mentions(pages)
+    entities = linking.distinct_entities(mentions_raw).localCheckpoint()
+    emb = udfs.embed_entities(entities)
+    pairs = linking.candidate_pairs(entities)
+    alias_pairs = linking.score_pairs(entities, pairs, emb=emb)
+    mapping = cc.connected_components(alias_pairs)
+    triples_raw = udfs.extract_triples(pages)
+    ent_key = entities.select("group_id", "norm_name", "ext_uuid")
+    keyed = (
+        triples_raw
+        .join(ent_key.withColumnRenamed("norm_name", "norm_subj")
+              .withColumnRenamed("ext_uuid", "src_uuid"), ["group_id", "norm_subj"])
+        .join(ent_key.withColumnRenamed("norm_name", "norm_obj")
+              .withColumnRenamed("ext_uuid", "dst_uuid"), ["group_id", "norm_obj"])
+    )
+    canon = cc.resolve_pointers(keyed, mapping, ["src_uuid", "dst_uuid"])
+    canon.write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    n_pages, cpus = int(sys.argv[1]), int(sys.argv[2])
+    variants = sys.argv[3].split(",") if len(sys.argv) > 3 else ["base"]
+    from kgspark import dedup
+    from kgspark.session import get_spark
+    spark = get_spark("dedup-ab", cpus=cpus, shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    inp = f"/dev/shm/dedup_ab_input_{n_pages}"
+    if not Path(inp, "_SUCCESS").exists():
+        materialize_input(spark, n_pages, inp)
+    triples = spark.read.parquet(inp)
+    print("input_rows", triples.count(), file=sys.stderr)
+
+    def cpu_ticks():
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # user+nice+system+irq+softirq, idle+iowait, steal
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        return busy, vals[3] + vals[4], vals[7]
+
+    def run(name, fn, runs=3):
+        times, steals = [], []
+        for _ in range(runs):
+            b0, i0, s0 = cpu_ticks()
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            times.append(round(time.time() - t0, 2))
+            b1, i1, s1 = cpu_ticks()
+            tot = (b1 - b0) + (i1 - i0) + (s1 - s0)
+            steals.append(round(100 * (s1 - s0) / max(tot, 1), 1))
+        print("RESULT " + json.dumps({"variant": name, "cpus": cpus,
+                                      "runs_sec": times, "steal_pct": steals,
+                                      "best": min(times)}))
+
+    for v in variants:
+        # variant grammar: [lowfb-]salted|nosalt ; lowfb- restores the 128
+        # default ObjectHashAggregate fallback threshold (session.py now
+        # raises it)
+        name = v
+        if v.startswith("lowfb-"):
+            spark.conf.set(
+                "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+            v = v.removeprefix("lowfb-")
+        else:
+            spark.conf.set(
+                "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                str(4 * 1024 * 1024))
+        if v == "salted":
+            run(name, lambda: dedup.dedup_edges(triples, n_salts=16))
+        elif v == "nosalt":
+            run(name, lambda: dedup.dedup_edges(triples, n_salts=0))
+        else:
+            raise SystemExit(f"unknown variant {v}")
+
+
+if __name__ == "__main__":
+    main()

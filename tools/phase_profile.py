@@ -33,8 +33,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if not Path(pages_dir, "_SUCCESS").exists():
-        pages_spark(spark, n_pages, richness=richness).write.mode("overwrite") \
-            .partitionBy("group_id").parquet(pages_dir)
+        pages_spark(spark, n_pages, richness=richness, partitions=128) \
+            .write.mode("overwrite").parquet(pages_dir)
     pages = spark.read.parquet(pages_dir).select(
         "url", "group_id", "warc_ts", "html", "text", "lang")
 
