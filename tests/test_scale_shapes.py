@@ -117,3 +117,44 @@ def test_temporal_same_group_run_skipped(spark):
     assert got["e3"]["invalid_at"] is None
     caused = {r["edge_uuid"]: r["caused_by_edge_uuid"] for r in inv.collect()}
     assert caused == {"e1": "e3", "e2": "e3"}
+
+
+def _triples_df(spark):
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        rows.append((f"g{i % 3}", f"s{i % 20:02d}", "WORKS_FOR", f"d{i % 7}",
+                     f"fact {i % 40}", f"nf {i % 40}", f"u{i:03d}",
+                     base + timedelta(hours=i), None, None))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "group_id", "src_uuid", "predicate", "dst_uuid", "fact",
+            "norm_fact", "url", "warc_ts", "valid_at_explicit",
+            "invalid_at_explicit"]),
+        schema=("group_id string, src_uuid string, predicate string, "
+                "dst_uuid string, fact string, norm_fact string, url string, "
+                "warc_ts timestamp, valid_at_explicit timestamp, "
+                "invalid_at_explicit timestamp"))
+
+
+def test_dedup_single_phase_plan_and_salted_parity(spark):
+    """Default dedup must be ONE exchange (hash agg + map-side combine —
+    the double-shuffle salted plan cost 4-5x at local[32]); the n_salts>0
+    hub knob must produce identical rows through its two exchanges."""
+    from kgspark import dedup
+
+    t = _triples_df(spark)
+    plan1 = dedup.dedup_edges(t)._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("Exchange hashpartitioning") == 1
+    assert "ObjectHashAggregate" in plan1
+    plan2 = dedup.dedup_edges(t, n_salts=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan2.count("Exchange hashpartitioning") == 2
+
+    def freeze(rows):
+        return {tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in rows}
+
+    a = freeze(dedup.dedup_edges(t).collect())
+    b = freeze(dedup.dedup_edges(t, n_salts=8).collect())
+    assert a == b and len(a) > 50
