@@ -172,6 +172,31 @@ def q_kg_hybrid_search(spark, sf_dir):
     return out.select("uuid", F.round("rrf_score", 8).alias("rrf_score"))
 
 
+def q_kg_provenance_sort(spark, sf_dir):
+    # final edge ordering by provenance count (episode_mention_sort,
+    # search.py:356-358); the oracle recomputes the merged provenance SET
+    # per duplicate class, so this is the hard driver check on dedup's
+    # episodes set-union (edge_operations.py:186-187)
+    from kgspark import search as ks
+    out = ks.episode_mention_sort(_kg(spark)["edges"])
+    return out.select(
+        "uuid", F.size("episodes").cast("long").alias("n_episodes"),
+        F.array_join("episodes", ",").alias("episodes"))
+
+
+def q_kg_priority_boost(spark, sf_dir):
+    # fork-added priority boost (search.py:268-314): +0.2 on any result
+    # whose provenance includes a priority episode (here: lang == 'en');
+    # base score = provenance count so the oracle is exact
+    from kgspark import search as ks
+    out = _kg(spark)
+    res = out["edges"].select(
+        "uuid", F.size("episodes").cast("double").alias("score"))
+    boosted = ks.priority_boost(res, out["edges"], out["episodes"],
+                                F.col("lang") == "en", score_col="score")
+    return boosted.select("uuid", F.round("score", 4).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / joins / top-k (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
@@ -591,6 +616,37 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_mmr_topk(spark, sf_dir):
+    # MMR diversity rerank over a cosine-retrieved candidate set
+    # (maximal_marginal_relevance, search_utils.py:802-815): closed-form
+    # lam*sim(q,c) - (1-lam)*max_sim(c, other candidates), so the DuckDB
+    # oracle can recompute it exactly. Candidate boundary is stabilized by
+    # selecting on ROUNDED cosine with a vec_id tie-break; all candidates
+    # are returned (no second top-k boundary).
+    from kgspark import search as ks
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    dot = F.aggregate(F.zip_with(F.col("ev"), F.col("qv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                       F.lit(0.0), lambda a, v: a + v))  # noqa: E731
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("rcos", F.round(dot / (nrm(F.col("ev")) * nrm(F.col("qv"))), 4))
+        .orderBy(F.desc("rcos"), "vec_id")
+        .limit(64)
+        .select(F.col("vec_id").cast("string").alias("uuid"),
+                F.col("ev").alias("emb"))
+    )
+    out = ks.mmr_rerank(cand, "emb", qv, limit=64)
+    return out.select("uuid", F.round("mmr", 4).alias("mmr"))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -605,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": q_kg_bfs,
         "kg_node_distance": q_kg_node_distance,
         "kg_hybrid_search": q_kg_hybrid_search,
+        "kg_provenance_sort": q_kg_provenance_sort,
+        "kg_priority_boost": q_kg_priority_boost,
         "add_triplets": q_add_triplets,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -629,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": q_neardup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "mmr_topk": q_mmr_topk,
         "point_in_time": q_point_in_time,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -947,6 +1006,22 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "mmr_topk": """
+            WITH qe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                        WHERE vec_id = 0),
+            cand AS (
+              SELECT vec_id, vec_id::VARCHAR AS uuid,
+                     embedding::DOUBLE[] AS v,
+                     list_cosine_similarity(embedding::DOUBLE[], qv) AS qsim
+              FROM embeddings, qe WHERE vec_id <> 0
+              ORDER BY round(qsim, 4) DESC, vec_id LIMIT 64),
+            pairs AS (
+              SELECT a.uuid, max(list_cosine_similarity(a.v, b.v)) AS max_other
+              FROM cand a JOIN cand b ON a.uuid <> b.uuid GROUP BY a.uuid)
+            SELECT c.uuid,
+                   round(0.5 * c.qsim - 0.5 * coalesce(p.max_other, 0), 4) AS mmr
+            FROM cand c LEFT JOIN pairs p ON c.uuid = p.uuid
         """,
         "point_in_time": """
             SELECT user_id, event_type, event_id AS current_event_id,

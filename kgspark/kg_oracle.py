@@ -5,6 +5,8 @@ deterministic extraction output. To give the driver a HARD correctness
 signal on the flagship (VERDICT r1 item 1), the session's kg build
 materializes exactly the non-SQL-expressible intermediates to parquet:
 
+- ``pages_meta``                      — input page metadata (url, lang) from
+  the synthetic corpus (an INPUT of the DAG, not a computed stage);
 - ``mentions_raw`` / ``triples_raw``  — the Arrow-UDF extraction stages
   (kgspark/udfs.py wrapping kgspark/textcore.py);
 - ``band_keys``                       — MinHash-LSH band keys (md5 minhash,
@@ -69,6 +71,7 @@ def materialize(spark: SparkSession, pages: DataFrame,
     emb = udfs.embed_entities(entities)
     lp = communities.label_propagation(communities.adjacency(edges))
     frames = {
+        "pages_meta": pages.select("url", "lang").toPandas(),
         "mentions_raw": mentions_raw.toPandas(),
         "triples_raw": triples_raw.toPandas(),
         "band_keys": bands.toPandas(),
@@ -447,6 +450,27 @@ def oracle_queries(d: str = KG_ORACLE_DIR) -> dict[str, str]:
         FROM nodes n LEFT JOIN dists d ON n.uuid = d.uuid
         ORDER BY dist, n.uuid LIMIT 20"""
     q["add_triplets"] = _add_triplets_sql()
+    key5 = "group_id, src_uuid, predicate, dst_uuid, norm_fact"
+    edge_uuid = ("md5('edge|' || group_id || '|' || src_uuid || '|' || "
+                 "predicate || '|' || dst_uuid || '|' || norm_fact)")
+    q["kg_provenance_sort"] = pre + f"""
+        , occ AS (SELECT {edge_uuid} AS uuid, url FROM base)
+        SELECT uuid, count(DISTINCT url)::BIGINT AS n_episodes,
+               array_to_string(list_sort(list(DISTINCT url)), ',') AS episodes
+        FROM occ GROUP BY uuid"""
+    q["kg_priority_boost"] = pre + f"""
+        , pl AS (SELECT url, lang FROM '{d}/pages_meta.parquet'),
+        occn AS (SELECT {edge_uuid} AS uuid,
+                        count(DISTINCT url)::DOUBLE AS score,
+                        list(DISTINCT url) AS urls
+                 FROM base GROUP BY {key5}),
+        prio AS (SELECT DISTINCT o.uuid
+                 FROM (SELECT uuid, unnest(urls) AS url FROM occn) o
+                 JOIN pl ON o.url = pl.url AND pl.lang = 'en')
+        SELECT o.uuid,
+               round(o.score + CASE WHEN p.uuid IS NOT NULL
+                                    THEN 0.2 ELSE 0 END, 4) AS score
+        FROM occn o LEFT JOIN prio p ON o.uuid = p.uuid"""
     q["kg_hybrid_search"] = pre + f"""
         , nemb AS (
           SELECT n.uuid, n.name, e.name_embedding::DOUBLE[] AS v
