@@ -585,6 +585,21 @@ def q_ann_lsh_topk(spark, sf_dir):
             .orderBy(F.desc("cos"), "id"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF ANN (data-dependent coarse quantizer: deterministic distributed
+    # k-means -> cluster-pruned scan -> exact rescore) run at nprobe ==
+    # n_clusters — the exact regime, oracle-checkable; tests/test_datapipe.py
+    # pins recall and index partition-pruning for the approximate setting
+    from kgspark import datapipe as dp
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return (dp.ann_ivf(emb.filter("vec_id <> 0"), qv, k=10,
+                       n_clusters=8, nprobe=8)
+            .select("id", F.round("cos", 4).alias("cos"))
+            .orderBy(F.desc("cos"), "id"))
+
+
 def q_multimodal_features(spark, sf_dir):
     # multimodal plumbing: binary column -> feature rows (decode stubbed,
     # Spark contract real); binary payload derived from documents text
@@ -696,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "embedding_neardups": q_embedding_neardups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -843,6 +859,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "ann_lsh_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT id, round(c, 4) AS cos FROM (
+              SELECT vec_id AS id,
+                     list_cosine_similarity(embedding::DOUBLE[], qv) AS c
+              FROM embeddings, q WHERE vec_id <> 0
+              ORDER BY c DESC, vec_id LIMIT 10) t
+        """,
+        "ann_ivf_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)
             SELECT id, round(c, 4) AS cos FROM (

@@ -283,6 +283,123 @@ def ann_query_indexed(spark, path: str, query_vec: list[float], k: int = 10,
     return ann_bruteforce(idx, query_vec, k, id_col, emb_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN — the data-DEPENDENT coarse quantizer, complementing the
+# data-independent hyperplane LSH above. Centroids are learned with a
+# deterministic distributed Lloyd iteration (seeded by md5-ordered vector
+# ids, fixed iteration count — no RNG state, resumable); vectors partition
+# by nearest centroid; a query probes only the ``nprobe`` nearest clusters
+# and rescores exactly. At 10^12 scale the cluster id is the partition key
+# (same layout as build_ann_index), so nprobe ≈ nprobe/k of the table is
+# scanned. nprobe == k degenerates to exact brute force, which is how the
+# driver oracle checks it.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> list[list[float]]:
+    """Deterministic distributed k-means (cosine assignment, mean update).
+
+    Centroids live on the driver (k rows — the ONLY driver-side state;
+    the per-vector work is all DataFrame ops). Each iteration is one
+    assignment pass (broadcast centroids, argmax cosine in JVM) and one
+    mean-update shuffle keyed (cluster, dim): O(n·k·d) map work, one
+    exchange of k·d partial sums."""
+    v = emb.select(F.col(id_col).alias("id"),
+                   F.col(emb_col).cast("array<double>").alias("v"))
+    cents = [r["v"] for r in
+             v.orderBy(F.md5(F.col("id").cast("string")), "id")
+              .limit(k).collect()]
+    for _ in range(iters):
+        carr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in cents])
+        sims = F.transform(carr, lambda c: _cos_expr(F.col("v"), c))
+        # argmax = position of the max sim (ties -> lowest cluster id)
+        assigned = (v.withColumn("sims", sims)
+                    .withColumn("best", F.array_max("sims"))
+                    .withColumn("cluster",
+                                F.array_position(F.col("sims"), F.col("best"))
+                                .cast("int") - 1))
+        means = (assigned.select("cluster", F.posexplode("v"))
+                 .groupBy("cluster", "pos").agg(F.avg("col").alias("m"))
+                 .groupBy("cluster")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("cluster",
+                         F.transform("pm", lambda s: s["m"]).alias("c"))
+                 .collect())
+        new = {r["cluster"]: r["c"] for r in means}
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return [list(map(float, c)) for c in cents]
+
+
+def _assign_clusters(emb: DataFrame, cents: list[list[float]],
+                     id_col: str, emb_col: str) -> DataFrame:
+    carr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        for c in cents])
+    sims = F.transform(carr, lambda c: _cos_expr(
+        F.col(emb_col).cast("array<double>"), c))
+    return (emb.withColumn("sims", sims)
+            .withColumn("cluster",
+                        (F.array_position(F.col("sims"), F.array_max("sims"))
+                         .cast("int") - 1))
+            .drop("sims"))
+
+
+def ann_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
+            n_clusters: int = 16, nprobe: int = 4, iters: int = 2,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF ANN: restrict to the ``nprobe`` clusters whose centroids are
+    nearest the query, exact cosine rescore inside them. ``nprobe ==
+    n_clusters`` scans everything — exact by construction."""
+    cents = centroids or ivf_centroids(emb, n_clusters, iters, id_col, emb_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cm = np.asarray(cents, dtype=np.float64)
+    csim = (cm @ qv) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(qv))
+    probe = [int(i) for i in np.argsort(-csim)[:nprobe]]
+    sub = (_assign_clusters(emb, cents, id_col, emb_col)
+           .filter(F.col("cluster").isin(probe)))
+    return ann_bruteforce(sub, query_vec, k, id_col, emb_col)
+
+
+def build_ivf_index(emb: DataFrame, path: str, n_clusters: int = 16,
+                    iters: int = 2, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> list[list[float]]:
+    """Persist the IVF layout: vectors parquet PARTITIONED BY cluster id
+    (queries prune to nprobe partitions at the scan), centroids alongside.
+    Returns the centroids."""
+    cents = ivf_centroids(emb, n_clusters, iters, id_col, emb_col)
+    (_assign_clusters(emb.select(id_col, emb_col), cents, id_col, emb_col)
+     .write.mode("overwrite").partitionBy("cluster").parquet(path))
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_centroids.json"), "w") as f:
+        _json.dump(cents, f)
+    return cents
+
+
+def ann_ivf_indexed(spark, path: str, query_vec: list[float], k: int = 10,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> DataFrame:
+    """Top-k over a persisted IVF index: `cluster IN (nearest nprobe)`
+    prunes at the parquet source; exact rescore inside the probed
+    partitions."""
+    import json as _json
+    import os as _os
+    with open(_os.path.join(path, "_centroids.json")) as f:
+        cents = _json.load(f)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cm = np.asarray(cents, dtype=np.float64)
+    csim = (cm @ qv) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(qv))
+    probe = [int(i) for i in np.argsort(-csim)[:nprobe]]
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return ann_bruteforce(idx, query_vec, k, id_col, emb_col)
+
+
 def embedding_neardups(emb: DataFrame, threshold: float = 0.95,
                        n_planes: int = 16, n_bands: int = 2,
                        id_col: str = "vec_id", emb_col: str = "embedding",

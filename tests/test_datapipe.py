@@ -85,6 +85,42 @@ def test_ann_indexed_matches_bruteforce(spark, emb, tmp_path):
     assert "PartitionFilters: [bucket" in plan or "bucket#" in plan
 
 
+def test_ann_ivf_full_probe_is_exact_and_recall(spark, emb):
+    # nprobe = n_clusters scans every cluster — must equal brute force;
+    # centroid learning is deterministic, so re-derivation agrees
+    rest = emb.filter("vec_id <> 0")
+    qv = [float(x)
+          for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    brute = [(r["id"], round(r["cos"], 9))
+             for r in dp.ann_bruteforce(rest, qv, k=10).collect()]
+    cents = dp.ivf_centroids(rest, k=8, iters=2)
+    assert cents == dp.ivf_centroids(rest, k=8, iters=2)
+    full = [(r["id"], round(r["cos"], 9))
+            for r in dp.ann_ivf(rest, qv, k=10, n_clusters=8, nprobe=8,
+                                centroids=cents).collect()]
+    assert full == brute
+    approx = {r["id"] for r in dp.ann_ivf(rest, qv, k=10, n_clusters=8,
+                                          nprobe=4, centroids=cents).collect()}
+    assert len(approx & {i for i, _ in brute}) >= 5
+
+
+def test_ann_ivf_indexed_prunes_partitions(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf_index")
+    rest = emb.filter("vec_id <> 0")
+    dp.build_ivf_index(rest, path, n_clusters=8, iters=2)
+    qv = [float(x)
+          for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    brute = [(r["id"], round(r["cos"], 9))
+             for r in dp.ann_bruteforce(rest, qv, k=10).collect()]
+    idx_full = [(r["id"], round(r["cos"], 9))
+                for r in dp.ann_ivf_indexed(spark, path, qv, k=10,
+                                            nprobe=8).collect()]
+    assert idx_full == brute
+    plan = dp.ann_ivf_indexed(spark, path, qv, k=10, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan or "cluster#" in plan
+
+
 def test_embedding_neardups_bounded(spark, emb):
     out = dp.embedding_neardups(emb, threshold=0.9)
     assert out.filter("id_a >= id_b").count() == 0
