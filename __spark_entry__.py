@@ -610,6 +610,72 @@ def q_multimodal_features(spark, sf_dir):
     return dp.extract_image_features(d, "id", "blob").orderBy("id")
 
 
+def q_audio_features(spark, sf_dir):
+    # REAL WAV-PCM decode (stdlib wave + numpy, datapipe.extract_audio_
+    # features): the query synthesizes one square-wave WAV blob per doc
+    # with doc_id-derived parameters, so every decoded feature has an exact
+    # closed form the DuckDB oracle recomputes (rms of a +-v square wave is
+    # exactly v/32768 — IEEE-exact, no rounding needed)
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    from kgspark import datapipe as dp
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sr, n = 8000, 4000 + (did % 10) * 400
+                half = 4 + (did % 5)
+                a = (did % 9 + 1) / 10.0
+                v = int(np.floor(a * 32767.0 + 0.5))
+                sign = ((np.arange(n) // half) % 2 == 0)
+                x = np.where(sign, v, -v).astype("<i2")
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(x.tobytes())
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf["doc_id"], "blob": blobs})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id") \
+        .mapInPandas(gen, "id long, blob binary")
+    return (dp.extract_audio_features(d, "id", "blob")
+            .select("id", "sample_rate", "n_channels", "n_samples",
+                    "duration_sec", "rms", "n_zero_crossings"))
+
+
+def q_image_decode(spark, sf_dir):
+    # REAL binary-PPM decode (datapipe.decode_images): constant-color P6
+    # blobs with doc_id-derived dims/colors -> exact closed-form oracle
+    import pandas as pd
+
+    from kgspark import datapipe as dp
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 8, 3 + did % 5
+                r, g, b = did % 256, (did * 7) % 256, (did * 13) % 256
+                blobs.append(f"P6\n# synth\n{w} {h}\n255\n".encode()
+                             + bytes([r, g, b]) * (w * h))
+            yield pd.DataFrame({"id": pdf["doc_id"], "blob": blobs})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id") \
+        .mapInPandas(gen, "id long, blob binary")
+    return (dp.decode_images(d, "id", "blob")
+            .select("id", "width", "height", "mean_r", "mean_g", "mean_b",
+                    "decode_status"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     # brute-force cosine top-k over the embeddings table (similarity search
     # baseline; edge_similarity_search analog, search_utils.py:197-271)
@@ -713,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
+        "image_decode": q_image_decode,
     }
 
 
@@ -875,6 +943,30 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(embedding::DOUBLE[], qv) AS c
               FROM embeddings, q WHERE vec_id <> 0
               ORDER BY c DESC, vec_id LIMIT 10) t
+        """,
+        "audio_features": """
+            WITH p AS (
+              SELECT doc_id AS id,
+                     4000 + (doc_id % 10) * 400 AS n,
+                     4 + (doc_id % 5) AS half,
+                     (doc_id % 9 + 1) / 10.0 AS a
+              FROM documents)
+            SELECT id, 8000::INTEGER AS sample_rate, 1::INTEGER AS n_channels,
+                   n::BIGINT AS n_samples,
+                   n / 8000.0 AS duration_sec,
+                   floor(a * 32767.0 + 0.5) / 32768.0 AS rms,
+                   ((n - 1) // half)::BIGINT AS n_zero_crossings
+            FROM p
+        """,
+        "image_decode": """
+            SELECT doc_id AS id,
+                   (4 + doc_id % 8)::INTEGER AS width,
+                   (3 + doc_id % 5)::INTEGER AS height,
+                   (doc_id % 256)::DOUBLE AS mean_r,
+                   ((doc_id * 7) % 256)::DOUBLE AS mean_g,
+                   ((doc_id * 13) % 256)::DOUBLE AS mean_b,
+                   'ok' AS decode_status
+            FROM documents
         """,
         "simhash_docs": """
             WITH toks AS (

@@ -596,3 +596,160 @@ def sample_frames(df: DataFrame, id_col: str, binary_col: str,
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(run, FRAME_SAMPLE_DDL)
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal decoders — for formats decodable with the Python stdlib
+# alone (WAV-PCM via ``wave``, binary PPM/PGM via byte parsing), upgrading
+# the stubbed plumbing above to end-to-end decode where the environment
+# allows. Compressed formats (PNG/JPEG/MP3/...) stay gated behind an
+# import-try of PIL and report decode_status instead of crashing the stage
+# — at 10^12 scale one corrupt blob must never kill a 10^5-task job.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_DDL = ("id long, sample_rate int, n_channels int, "
+                      "n_samples long, duration_sec double, rms double, "
+                      "n_zero_crossings long, decode_status string")
+
+
+def _wav_features(b: bytes) -> dict:
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(b), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if nch > 1:  # downmix to mono for the features
+        x = x.reshape(-1, nch).mean(axis=1)
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+        if len(x) > 1 else 0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return {"sample_rate": sr, "n_channels": nch, "n_samples": int(n),
+            "duration_sec": float(n) / sr if sr else 0.0,
+            "rms": rms, "n_zero_crossings": zc}
+
+
+def extract_audio_features(df: DataFrame, id_col: str,
+                           binary_col: str) -> DataFrame:
+    """REAL audio decode over an opaque binary column: WAV (PCM 8/16-bit,
+    any channel count) is fully decoded with the stdlib ``wave`` module and
+    numpy; features are sample_rate / duration / RMS energy / zero-crossing
+    count. Non-WAV or corrupt blobs yield a row with decode_status set —
+    never a task failure."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob) if blob is not None else b""
+                row = {"id": i, "sample_rate": 0, "n_channels": 0,
+                       "n_samples": 0, "duration_sec": 0.0, "rms": 0.0,
+                       "n_zero_crossings": 0, "decode_status": "ok"}
+                try:
+                    row.update(_wav_features(b))
+                except Exception as e:  # corrupt/unsupported blob
+                    row["decode_status"] = f"error: {type(e).__name__}"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(run, AUDIO_FEATURES_DDL)
+
+
+IMAGE_DECODE_DDL = ("id long, width int, height int, mean_r double, "
+                    "mean_g double, mean_b double, decode_status string")
+
+
+def _pnm_tokens(b: bytes, n: int):
+    """Yield the first ``n`` whitespace-separated ASCII header tokens,
+    skipping '#' comments; return (tokens, offset past final whitespace)."""
+    toks, i, tok = [], 0, b""
+    while len(toks) < n and i < len(b):
+        c = b[i:i + 1]
+        if c == b"#":
+            while i < len(b) and b[i:i + 1] != b"\n":
+                i += 1
+        elif c in (b" ", b"\t", b"\r", b"\n"):
+            if tok:
+                toks.append(tok)
+                tok = b""
+            i += 1
+        else:
+            tok += c
+            i += 1
+    if tok and len(toks) < n:
+        toks.append(tok)
+    return toks, i
+
+
+def _pnm_decode(b: bytes) -> dict:
+    magic = b[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    nch = 3 if magic == b"P6" else 1
+    toks, off = _pnm_tokens(b[2:], 3)
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    raster = b[2 + off:2 + off + w * h * nch]
+    if len(raster) < w * h * nch:
+        raise ValueError("truncated raster")
+    px = np.frombuffer(raster, dtype=np.uint8).astype(np.float64) \
+        .reshape(h, w, nch)
+    means = px.mean(axis=(0, 1))
+    if nch == 1:
+        means = [float(means[0])] * 3
+    return {"width": w, "height": h, "mean_r": float(means[0]),
+            "mean_g": float(means[1]), "mean_b": float(means[2])}
+
+
+def decode_images(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """REAL image decode over an opaque binary column: binary PPM (P6) and
+    PGM (P5) are parsed byte-for-byte with the stdlib; PNG/JPEG decode is
+    attempted through PIL when present (not in this container) and reported
+    as decode_status='unsupported' otherwise. Features: dimensions + mean
+    channel intensities. Corrupt blobs yield a status row, not a task
+    failure."""
+
+    def run(batches):
+        try:
+            from PIL import Image  # noqa: F401
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob) if blob is not None else b""
+                row = {"id": i, "width": 0, "height": 0, "mean_r": 0.0,
+                       "mean_g": 0.0, "mean_b": 0.0, "decode_status": "ok"}
+                try:
+                    if b[:2] in (b"P6", b"P5"):
+                        row.update(_pnm_decode(b))
+                    elif have_pil:
+                        import io
+
+                        from PIL import Image
+                        img = Image.open(io.BytesIO(b)).convert("RGB")
+                        arr = np.asarray(img, dtype=np.float64)
+                        row.update({
+                            "width": img.width, "height": img.height,
+                            "mean_r": float(arr[..., 0].mean()),
+                            "mean_g": float(arr[..., 1].mean()),
+                            "mean_b": float(arr[..., 2].mean())})
+                    else:
+                        row["decode_status"] = "unsupported"
+                except Exception as e:
+                    row["decode_status"] = f"error: {type(e).__name__}"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(run, IMAGE_DECODE_DDL)

@@ -175,3 +175,57 @@ def test_multimodal_stub_plumbing(spark):
     # real-decoder path raises cleanly (documented stub)
     with pytest.raises(Exception, match="NotImplementedError|image library"):
         dp.extract_image_features(df, "id", "blob", use_real_decoder=True).collect()
+
+
+def _wav_bytes(x, sr=8000, nch=1, width=2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        w.writeframes(x)
+    return buf.getvalue()
+
+
+def test_audio_decode_real_wav(spark):
+    # 16-bit stereo: downmixed features must match a numpy reference
+    sr = 4000
+    t = np.arange(2000)
+    left = (10000 * np.sign(np.sin(2 * np.pi * 50 * t / sr))).astype("<i2")
+    right = (-left).astype("<i2")
+    stereo = np.column_stack([left, right]).ravel().tobytes()
+    mono8 = (np.tile([200, 56], 500).astype(np.uint8)).tobytes()
+    rows = [(1, _wav_bytes(stereo, sr=sr, nch=2)),
+            (2, _wav_bytes(mono8, sr=8000, width=1)),
+            (3, b"not a wav at all")]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r["id"]: r for r in
+           dp.extract_audio_features(df, "id", "blob").collect()}
+    assert got[1]["sample_rate"] == sr and got[1]["n_channels"] == 2
+    assert got[1]["n_samples"] == 2000
+    assert got[1]["duration_sec"] == 2000 / sr
+    # stereo downmix: left + right cancel exactly
+    assert got[1]["rms"] == 0.0
+    x8 = (np.array([200, 56] * 500, dtype=np.float64) - 128.0) / 128.0
+    assert abs(got[2]["rms"] - np.sqrt(np.mean(x8 * x8))) < 1e-12
+    assert got[2]["n_zero_crossings"] == 999
+    assert got[3]["decode_status"].startswith("error")
+
+
+def test_image_decode_pnm(spark):
+    p6 = b"P6\n# a comment\n 3 2\n255\n" + bytes([10, 20, 30]) * 6
+    p5 = b"P5\n2 2\n255\n" + bytes([0, 100, 100, 200])
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    trunc = b"P6\n4 4\n255\n" + b"\x00" * 5
+    df = spark.createDataFrame(
+        [(1, p6), (2, p5), (3, png), (4, trunc)], "id long, blob binary")
+    got = {r["id"]: r for r in dp.decode_images(df, "id", "blob").collect()}
+    assert (got[1]["width"], got[1]["height"]) == (3, 2)
+    assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (10.0, 20.0, 30.0)
+    assert got[2]["width"] == 2 and got[2]["mean_r"] == 100.0
+    assert got[2]["mean_r"] == got[2]["mean_g"] == got[2]["mean_b"]
+    assert got[3]["decode_status"] in ("unsupported", "ok")  # PIL-gated
+    assert got[4]["decode_status"].startswith("error")
