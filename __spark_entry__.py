@@ -676,6 +676,13 @@ def q_image_decode(spark, sf_dir):
                     "decode_status"))
 
 
+def q_sessionization(spark, sf_dir):
+    # gap-based sessionization via native session_window (the streaming
+    # twin unchanged); oracle = lag/cumsum session assignment in SQL
+    from kgspark.streaming import sessionize
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     # brute-force cosine top-k over the embeddings table (similarity search
     # baseline; edge_similarity_search analog, search_utils.py:197-271)
@@ -781,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "image_decode": q_image_decode,
+        "sessionization": q_sessionization,
     }
 
 
@@ -957,6 +965,24 @@ def oracle_sql() -> dict[str, str]:
                    floor(a * 32767.0 + 0.5) / 32768.0 AS rms,
                    ((n - 1) // half)::BIGINT AS n_zero_crossings
             FROM p
+        """,
+        "sessionization": """
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "image_decode": """
             SELECT doc_id AS id,

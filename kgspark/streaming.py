@@ -193,3 +193,27 @@ def streaming_mention_counts(pages_stream: DataFrame,
             .withWatermark("warc_ts", watermark)
             .groupBy(F.window("warc_ts", window), "group_id", "name")
             .agg(F.count(F.lit(1)).alias("n_mentions")))
+
+
+def sessionize(events: DataFrame, ts_col: str = "ts",
+               key_col: str = "user_id", gap: str = "30 minutes",
+               value_col: str = "value") -> DataFrame:
+    """Gap-based sessionization with Spark's native ``session_window`` —
+    the SAME primitive works unchanged over a ``readStream`` source (with
+    a watermark), so this is the batch twin of the streaming session
+    aggregation. Events of one key whose gaps are <= ``gap`` merge into
+    one session (the boundary is inclusive — a gap of exactly ``gap``
+    still merges); the window end extends 1 gap past the last event.
+
+    Scale shape: one shuffle keyed on ``key_col`` (high-cardinality
+    user/device ids), session merging is per-key local state — the classic
+    100-TB clickstream layout. total_value uses the DECIMAL(18,4) pattern
+    so results are order-independent (float sums are not associative)."""
+    dec = F.col(value_col).cast("decimal(18,4)")
+    return (events
+            .groupBy(key_col, F.session_window(ts_col, gap))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(dec), 2).cast("double").alias("total_value"))
+            .select(key_col,
+                    F.col("session_window.start").alias("session_start"),
+                    "n_events", "total_value"))

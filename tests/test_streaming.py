@@ -53,3 +53,54 @@ def test_streaming_mention_counts(spark, tmp_path):
     # availableNow over finite input, earlier windows close
     assert {c for c in rows[0].asDict()} == {"window", "group_id", "name", "n_mentions"} \
         if rows else True
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: chain merging — gaps of 29 min and exactly 30 min both
+        # merge (session_window's boundary is inclusive) -> ONE session
+        (1, t0, 5.0), (1, t0 + timedelta(minutes=29), 5.0),
+        (1, t0 + timedelta(minutes=59), 5.0),
+        # user 1: gap 31 min > 30 -> NEW session
+        (1, t0 + timedelta(minutes=90), 1.0),
+        # user 2: single event
+        (2, t0, 2.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+           for r in streaming.sessionize(df).collect()}
+    assert got == {
+        (1, t0): (3, 15.0),
+        (1, t0 + timedelta(minutes=90)): (1, 1.0),
+        (2, t0): (1, 2.5),
+    }
+
+
+def test_sessionize_streaming_twin(spark, tmp_path):
+    # the SAME operator over readStream: session windows close once the
+    # watermark passes; with availableNow over finite input the emitted
+    # sessions must be a subset of (and consistent with) the batch result
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(u, t0 + timedelta(minutes=5 * i + u), float(i))
+            for u in (1, 2) for i in range(10)]
+    # a far-future event pushes the watermark so earlier sessions close
+    rows.append((9, t0 + timedelta(days=2), 0.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    inp = str(tmp_path / "events_in")
+    df.coalesce(1).write.parquet(inp)
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double") \
+        .parquet(inp)
+    agg = streaming.sessionize(stream.withWatermark("ts", "1 hour"))
+    q = (agg.writeStream.format("memory").queryName("sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+           for r in spark.sql("select * from sess").collect()}
+    batch = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+             for r in streaming.sessionize(df).collect()}
+    assert got and all(batch[k] == v for k, v in got.items())
