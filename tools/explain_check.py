@@ -75,6 +75,18 @@ def main() -> None:
     check("alias-map join broadcastable (AQE)",
           "BroadcastHashJoin" in p or "BroadcastHashJoin" in pf, pf)
 
+    # 6. sessionization: native session_window agg = ONE exchange on the
+    # key, partial merge before it (no sort-based session reconstruction)
+    p = plan_of(E.q_sessionization(spark, SF), "simple")
+    check("sessionization single exchange",
+          p.count("Exchange hashpartitioning") == 1, p)
+
+    # 7. multimodal decode stages are single-pass Arrow (MapInPandas) with
+    # no shuffle at all — decode is embarrassingly parallel
+    p = plan_of(E.q_image_decode(spark, SF), "simple")
+    check("image_decode no shuffle", "Exchange" not in p, p)
+    check("image_decode arrow stage", "MapInPandas" in p, p)
+
     print("FAILURES:", failures or "none")
     sys.exit(1 if failures else 0)
 
