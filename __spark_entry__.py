@@ -676,6 +676,15 @@ def q_image_decode(spark, sf_dir):
                     "decode_status"))
 
 
+def q_corpus_dedup(spark, sf_dir):
+    # end-to-end corpus cleaning decision: exact + LSH near-dup edges ->
+    # connected components -> canonical (min) doc id per duplicate cluster;
+    # the oracle recomputes the closure with a recursive CTE
+    from kgspark import datapipe as dp
+    return dp.corpus_dedup(_t(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
+
+
 def q_sessionization(spark, sf_dir):
     # gap-based sessionization via native session_window (the streaming
     # twin unchanged); oracle = lag/cumsum session assignment in SQL
@@ -789,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "image_decode": q_image_decode,
         "sessionization": q_sessionization,
+        "corpus_dedup": q_corpus_dedup,
     }
 
 
@@ -965,6 +975,46 @@ def oracle_sql() -> dict[str, str]:
                    floor(a * 32767.0 + 0.5) / 32768.0 AS rms,
                    ((n - 1) // half)::BIGINT AS n_zero_crossings
             FROM p
+        """,
+        "corpus_dedup": """
+            WITH RECURSIVE
+            fp AS (
+              SELECT doc_id, b.band, b.i FROM documents,
+              LATERAL (
+                SELECT unnest(['s0','s1','s2','s3']) AS seed,
+                       unnest([0,1,2,3]) AS i
+              ) s(seed, i),
+              LATERAL (
+                SELECT list_aggregate(list_transform(list_distinct(
+                    regexp_extract_all(text, '[a-z0-9]+')),
+                    t -> md5(s.seed || '|' || t)), 'min') AS band, s.i AS i
+              ) b(band, i)
+            ),
+            bounded AS (
+              SELECT * FROM fp
+              WHERE (i, band) IN (
+                SELECT (i, band) FROM fp GROUP BY i, band
+                HAVING count(*) BETWEEN 2 AND 20)
+            ),
+            near AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bounded a JOIN bounded b
+                ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id),
+            eh AS (SELECT doc_id, md5(text) AS h FROM documents),
+            em AS (SELECT h, min(doc_id) AS keep FROM eh GROUP BY h),
+            ee AS (SELECT e.doc_id AS a, m.keep AS b FROM eh e
+                   JOIN em m USING (h) WHERE e.doc_id <> m.keep),
+            edges AS (SELECT a, b FROM near UNION SELECT a, b FROM ee),
+            und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            reach AS (SELECT a, b FROM und
+                      UNION
+                      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+            mapping AS (SELECT a AS doc_id, least(a, min(b)) AS canon
+                        FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   coalesce(m.canon, d.doc_id)::BIGINT AS canonical_id
+            FROM documents d LEFT JOIN mapping m USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "sessionization": """
             WITH o AS (

@@ -753,3 +753,42 @@ def decode_images(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(run, IMAGE_DECODE_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-dedup pipeline: exact + near-dup -> duplicate clusters ->
+# canonical id. This is the end-to-end cleaning decision a training-data
+# pipeline actually ships: the exact classes and LSH candidate pairs become
+# edges of a duplicate graph, connected components give the cluster, the
+# minimum doc id is the kept canonical. Reuses the group-partitioned
+# union-find from entity canonicalization (kgspark/cc.py) — same operator,
+# different graph.
+# ---------------------------------------------------------------------------
+
+
+def corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n_seeds: int = 4,
+                 band_cap: int = DEFAULT_BAND_CAP) -> DataFrame:
+    """(doc_id, canonical_id) for EVERY doc: canonical_id is the minimum
+    doc id of the doc's duplicate cluster (exact-hash classes unioned with
+    MinHash-LSH near-dup pairs, transitively closed); singletons map to
+    themselves. Ids travel through the string union-find zero-padded so
+    lexicographic min == numeric min."""
+    from kgspark.cc import connected_components
+
+    pad = lambda c: F.format_string("%012d", F.col(c).cast("long"))  # noqa: E731
+    eh = docs.select(F.col(id_col), F.md5(text_col).alias("h"))
+    em = eh.groupBy("h").agg(F.min(id_col).alias("keep"))
+    ee = (eh.join(em, "h").filter(F.col(id_col) != F.col("keep"))
+          .select(F.col(id_col).alias("id_a"), F.col("keep").alias("id_b")))
+    near = neardup_pairs(docs, id_col, text_col, n_seeds, band_cap)
+    edges = (ee.unionByName(near)
+             .select(pad("id_a").alias("uuid_a"), pad("id_b").alias("uuid_b")))
+    mapping = connected_components(edges).select(
+        F.col("uuid").cast("long").alias(id_col),
+        F.col("canonical_uuid").cast("long").alias("canonical_id"))
+    return (docs.select(id_col)
+            .join(mapping, id_col, "left")
+            .select(id_col,
+                    F.coalesce("canonical_id", F.col(id_col))
+                    .alias("canonical_id")))

@@ -229,3 +229,21 @@ def test_image_decode_pnm(spark):
     assert got[2]["mean_r"] == got[2]["mean_g"] == got[2]["mean_b"]
     assert got[3]["decode_status"] in ("unsupported", "ok")  # PIL-gated
     assert got[4]["decode_status"].startswith("error")
+
+
+def test_corpus_dedup_clusters(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (10, base),                       # canonical of the cluster
+        (11, base),                       # exact dup of 10
+        (12, base + " extra trailing"),   # near-dup of 10 (shares bands)
+        (50, "completely different text about spark and parquet tables"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dp.corpus_dedup(df).collect()}
+    assert got[10] == 10 and got[11] == 10
+    assert got[50] == 50                  # singleton maps to itself
+    # 12 joins the cluster iff LSH banded it with 10 — with 4 bands over a
+    # near-identical token set it must
+    assert got[12] == 10
