@@ -106,7 +106,7 @@ def run_default() -> None:
                 "temporal_close", "dedup_keep_first", "context_window",
                 "provenance_sets", "rrf_fusion", "neardup_pairs",
                 "ngram_jaccard", "ann_cosine_topk", "exact_dup_docs",
-                "token_stats"]
+                "token_stats", "corpus_dedup", "sessionization"]
     times: dict[str, float] = {}
     total0 = time.time()
     # kg first, after a small warmup: measured in a quiet session instead

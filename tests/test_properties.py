@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) over the pure-Python extraction core
+and the driver contract. These pin ALGEBRAIC invariants — idempotence,
+symmetry, order-independence — that example tests cannot cover exhaustively;
+every invariant here is one the distributed DAG silently relies on
+(e.g. dedup keys assume normalize_name is idempotent; linking assumes
+should_link is symmetric; band blocking assumes identical names band
+identically)."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgspark import textcore
+
+TEXTISH = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80)
+NAMES = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.-'",
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTISH)
+def test_normalize_name_idempotent(s):
+    once = textcore.normalize_name(s)
+    assert textcore.normalize_name(once) == once
+    # output alphabet is the dedup-key contract: lowercase tokens, single
+    # spaces, no leading/trailing space
+    assert once == " ".join(once.split())
+    assert all(c.islower() or c.isdigit() or c == " " for c in once)
+
+
+@settings(max_examples=200, deadline=None)
+@given(NAMES, NAMES)
+def test_should_link_symmetric_and_reflexive(a, b):
+    assert textcore.should_link(a, b) == textcore.should_link(b, a)
+    na = textcore.normalize_name(a)
+    if na:  # any normalizable name must link to itself
+        assert textcore.should_link(a, a)
+
+
+@settings(max_examples=200, deadline=None)
+@given(NAMES)
+def test_band_keys_deterministic_and_shaped(name):
+    k1 = textcore.minhash_band_keys(name)
+    assert k1 == textcore.minhash_band_keys(name)
+    assert len(k1) == len(set(b.split("|")[0] for b in k1))  # one key per band
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTISH, st.datetimes(min_value=datetime(1990, 1, 1),
+                             max_value=datetime(2030, 12, 31)))
+def test_parse_dates_total_and_ordered(s, ref):
+    # never raises; when both bounds exist they are ordered
+    valid, invalid, has_explicit = textcore.parse_dates(s, ref)
+    if valid is not None and invalid is not None:
+        assert invalid >= valid
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTISH)
+def test_hash_embedding_unit_norm(s):
+    v = textcore.hash_embedding(s)
+    assert len(v) == textcore.EMBED_DIM
+    n = sum(x * x for x in v) ** 0.5
+    assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+def test_driver_contract_consistency():
+    # every query has an oracle and vice versa; keys are stable identifiers
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_contract", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs, osql = m.queries(), m.oracle_sql()
+    assert set(qs) == set(osql)
+    assert all(callable(v) for v in qs.values())
+    assert all(isinstance(v, str) and v.strip() for v in osql.values())
