@@ -768,13 +768,22 @@ def decode_images(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
 
 def corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n_seeds: int = 4,
-                 band_cap: int = DEFAULT_BAND_CAP) -> DataFrame:
+                 band_cap: int = DEFAULT_BAND_CAP,
+                 strategy: str = "local") -> DataFrame:
     """(doc_id, canonical_id) for EVERY doc: canonical_id is the minimum
     doc id of the doc's duplicate cluster (exact-hash classes unioned with
     MinHash-LSH near-dup pairs, transitively closed); singletons map to
     themselves. Ids travel through the string union-find zero-padded so
-    lexicographic min == numeric min."""
-    from kgspark.cc import connected_components
+    lexicographic min == numeric min.
+
+    ``strategy``: unlike entity canonicalization, duplicate clusters can
+    span the whole corpus, so there is no natural partition key for the
+    closure. ``'local'`` resolves all edges in one union-find task —
+    correct while the EDGE set (already band-capped by LSH, far smaller
+    than the corpus) fits one executor. ``'iterative'`` is the 10^12-doc
+    path: distributed min-label propagation (kgspark/cc.py), identical
+    output (pinned by test_corpus_dedup_strategies_agree)."""
+    from kgspark.cc import connected_components, connected_components_iterative
 
     pad = lambda c: F.format_string("%012d", F.col(c).cast("long"))  # noqa: E731
     eh = docs.select(F.col(id_col), F.md5(text_col).alias("h"))
@@ -784,7 +793,9 @@ def corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
     near = neardup_pairs(docs, id_col, text_col, n_seeds, band_cap)
     edges = (ee.unionByName(near)
              .select(pad("id_a").alias("uuid_a"), pad("id_b").alias("uuid_b")))
-    mapping = connected_components(edges).select(
+    cc = (connected_components_iterative if strategy == "iterative"
+          else connected_components)
+    mapping = cc(edges).select(
         F.col("uuid").cast("long").alias(id_col),
         F.col("canonical_uuid").cast("long").alias("canonical_id"))
     return (docs.select(id_col)

@@ -247,3 +247,11 @@ def test_corpus_dedup_clusters(spark):
     # 12 joins the cluster iff LSH banded it with 10 — with 4 bands over a
     # near-identical token set it must
     assert got[12] == 10
+
+
+def test_corpus_dedup_strategies_agree(spark, docs):
+    a = {(r["doc_id"], r["canonical_id"])
+         for r in dp.corpus_dedup(docs).collect()}
+    b = {(r["doc_id"], r["canonical_id"])
+         for r in dp.corpus_dedup(docs, strategy="iterative").collect()}
+    assert a == b and len(a) == docs.count()
