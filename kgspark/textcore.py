@@ -134,6 +134,8 @@ def classify_name(name: str) -> str:
         return "DynamicEvent"
     if re.fullmatch(r"[a-z][a-z0-9_]{2,}", name):
         return "Person"  # speaker handle
+    if not toks:  # whitespace-only input: fall through to the default
+        return "Organization"
     if toks[-1] == "Campaign":
         return "Campaign"
     if toks[-1] == "Team":
