@@ -292,6 +292,11 @@ _SINCE_RE = re.compile(rf"\b(?:since|starting) ({_DATE_ALT})")
 _ON_RE = re.compile(rf"\bon ({_DATE_ALT})")
 _UNTIL_RE = re.compile(rf"\buntil ({_DATE_ALT})")
 _REL_RE = re.compile(r"\b(yesterday|last week|last month)\b")
+# fast-path gate: every absolute form above (long + ISO) contains a 4-digit
+# year, so a sentence without one can only carry a relative phrase — one
+# search replaces the 4 absolute-pattern searches on date-free sentences
+# (the overwhelmingly common case on web text)
+_ABS_DATE_HINT_RE = re.compile(r"\d{4}")
 
 
 def _parse_date_token(tok: str) -> datetime:
@@ -312,20 +317,21 @@ def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datet
     (valid_at = reference timestamp) is applied by the caller via
     ``coalesce(valid_at, warc_ts)`` so the default is visible in the plan.
     """
-    m = _FROM_TO_RE.search(sentence)
-    if m:
-        return _parse_date_token(m.group(1)), _parse_date_token(m.group(2)), True
     valid: datetime | None = None
     invalid: datetime | None = None
     explicit = False
-    m = _SINCE_RE.search(sentence) or _ON_RE.search(sentence)
-    if m:
-        valid = _parse_date_token(m.group(1))
-        explicit = True
-    m = _UNTIL_RE.search(sentence)
-    if m:
-        invalid = _parse_date_token(m.group(1))
-        explicit = True
+    if _ABS_DATE_HINT_RE.search(sentence) is not None:
+        m = _FROM_TO_RE.search(sentence)
+        if m:
+            return _parse_date_token(m.group(1)), _parse_date_token(m.group(2)), True
+        m = _SINCE_RE.search(sentence) or _ON_RE.search(sentence)
+        if m:
+            valid = _parse_date_token(m.group(1))
+            explicit = True
+        m = _UNTIL_RE.search(sentence)
+        if m:
+            invalid = _parse_date_token(m.group(1))
+            explicit = True
     if valid is None:
         m = _REL_RE.search(sentence)
         if m:
@@ -350,15 +356,18 @@ def extract_triples(text: str, ref_ts: datetime) -> list[Triple]:
         if len(sent_mentions) < 2:
             continue
         by_start = sorted(sent_mentions, key=lambda m: m.start)
+        dates = None  # parse_dates is a function of body only — once per sentence
         for a, b in zip(by_start, by_start[1:]):
             between = body[a.start + len(a.name): b.start].strip()
-            between = re.sub(r"^(?:the\s+)", "", between)
+            between = _LEADING_THE_RE.sub("", between)
             pred = _VERB_MAP.get(between)
             if pred is None:
                 continue
             if a.name == b.name:
                 continue  # self-loop drop (bulk_utils.py:385-386)
-            valid_at, invalid_at, explicit = parse_dates(body, ref_ts)
+            if dates is None:
+                dates = parse_dates(body, ref_ts)
+            valid_at, invalid_at, explicit = dates
             triples.append(
                 Triple(a.name, pred, b.name, sent.strip() + ".", valid_at, invalid_at, explicit)
             )
