@@ -311,6 +311,9 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
     cents = [r["v"] for r in
              v.orderBy(F.md5(F.col("id").cast("string")), "id")
               .limit(k).collect()]
+    if not cents:
+        raise ValueError("ivf_centroids: empty embedding table")
+    k = min(k, len(cents))  # fewer vectors than clusters: degrade, don't crash
     for _ in range(iters):
         carr = F.array(*[
             F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
@@ -782,10 +785,13 @@ def corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
     correct while the EDGE set (already band-capped by LSH, far smaller
     than the corpus) fits one executor. ``'iterative'`` is the 10^12-doc
     path: distributed min-label propagation (kgspark/cc.py), identical
-    output (pinned by test_corpus_dedup_strategies_agree)."""
+    output (pinned by test_corpus_dedup_strategies_agree).
+
+    Ids must be non-negative int64 (zero-padded to the full 19-digit
+    int64 width so lexicographic min == numeric min at any scale)."""
     from kgspark.cc import connected_components, connected_components_iterative
 
-    pad = lambda c: F.format_string("%012d", F.col(c).cast("long"))  # noqa: E731
+    pad = lambda c: F.format_string("%019d", F.col(c).cast("long"))  # noqa: E731
     eh = docs.select(F.col(id_col), F.md5(text_col).alias("h"))
     em = eh.groupBy("h").agg(F.min(id_col).alias("keep"))
     ee = (eh.join(em, "h").filter(F.col(id_col) != F.col("keep"))

@@ -39,18 +39,27 @@ def lucene_sanitize(query: str) -> str:
     return query.translate({ord(c): "\\" + c for c in _ESCAPE_CHARS})
 
 
+def py_tokens(text: str) -> list[str]:
+    """Driver/executor-side python twin of ``tokens_col`` — the ONE
+    tokenizer definition shared by query-term building and the
+    cross-encoder stand-in (keep in sync with tokens_col)."""
+    return [t for t in
+            "".join(ch if ch.isalnum() else " " for ch in text.lower()).split()
+            if t]
+
+
 def fulltext_terms(query: str, max_terms: int = MAX_QUERY_TERMS) -> list[str]:
     """Sanitize, lowercase, tokenize, cap at 32 terms (the analog of
     fulltext_query building a fuzzy OR-query)."""
-    sanitized = lucene_sanitize(query)
-    toks = [t for t in
-            "".join(ch if ch.isalnum() else " " for ch in sanitized.lower()).split()
-            if t]
-    return toks[:max_terms]
+    return py_tokens(lucene_sanitize(query))[:max_terms]
 
 
-def _tokens(col):
+def tokens_col(col):
+    """Column-side tokenizer (JVM regex; the Spark twin of py_tokens)."""
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+_tokens = tokens_col  # internal alias
 
 
 def bm25_search(df: DataFrame, text_col: str, query: str, limit: int = 20,
@@ -102,8 +111,7 @@ def default_cross_scorer(passages, query: str):
     def score(p: str) -> float:
         if p is None:
             return 0.0
-        toks = {t for t in
-                "".join(ch if ch.isalnum() else " " for ch in p.lower()).split()}
+        toks = set(py_tokens(p))
         if not toks or not q:
             return 0.0
         return len(q & toks) / len(q | toks)

@@ -62,18 +62,24 @@ def write_tables(out: dict[str, DataFrame], base: str,
     partitions present in the new output, so a recomputed group whose
     result is now EMPTY for some table (e.g. edge_invalidations after an
     explicit end-date preempts a conflict) would otherwise keep the stale
-    partition and diverge from a batch rebuild."""
+    partition and diverge from a batch rebuild. Partition dir names are
+    matched by DECODING Spark's Hive-style %XX escaping (a group id with
+    ':' or '/' lands on disk escaped), not by re-building the raw name.
+    This delete-then-dynamic-overwrite is the local-parquet stand-in for
+    Iceberg's atomic REPLACE WHERE / MERGE on a real catalog."""
     import shutil
+    from urllib.parse import unquote
 
     counts = {}
+    gset = set(groups or [])
     for t in TABLES:
         if t not in out:
             continue
-        if groups:
-            for g in groups:
-                p = Path(base) / t / f"group_id={g}"
-                if p.exists():
-                    shutil.rmtree(p)
+        tdir = Path(base) / t
+        if gset and tdir.exists():
+            for d in tdir.glob("group_id=*"):
+                if unquote(d.name.split("=", 1)[1]) in gset:
+                    shutil.rmtree(d)
         df = out[t]
         (df.write.mode("overwrite")
            .option("partitionOverwriteMode", "dynamic")
@@ -122,9 +128,15 @@ def run_resumable(spark: SparkSession, pages: DataFrame, base: str,
         # would be a driver-side job storm at thousands of groups)
         per_group: dict[str, dict[str, int]] = {g: {} for g in batch}
         for t in ("nodes", "edges", "mentions"):
-            rows = (spark.read.parquet(str(Path(base) / t))
-                    .filter(F.col("group_id").isin(batch))
-                    .groupBy("group_id").count().collect())
+            try:
+                rows = (spark.read.parquet(str(Path(base) / t))
+                        .filter(F.col("group_id").isin(batch))
+                        .groupBy("group_id").count().collect())
+            except Exception:
+                # a batch whose result is empty for a table leaves a dir
+                # with no parquet files — schema inference fails; the true
+                # count for every group is 0
+                rows = []
             got = {r["group_id"]: r["count"] for r in rows}
             for g in batch:
                 per_group[g][t] = got.get(g, 0)

@@ -134,10 +134,14 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
         empty = F.map_from_arrays(F.array().cast("array<string>"),
                                   F.array().cast("array<string>"))
         chain = empty
+        # built-in keys stay authoritative: a registered schema may not
+        # shadow them (map_concat raises DUPLICATE_MAP_KEY under Spark's
+        # default EXCEPTION dedup policy)
+        reserved = {"entity_type", "mention_count"}
         for t in entity_types.types:
-            if t.attributes:
-                kv = [x for pair in t.attributes
-                      for x in (F.lit(pair[0]), F.lit(pair[1]))]
+            kv = [x for pair in t.attributes if pair[0] not in reserved
+                  for x in (F.lit(pair[0]), F.lit(pair[1]))]
+            if kv:
                 chain = F.when(
                     F.element_at(F.col("attributes"), "entity_type") == t.name,
                     F.create_map(*kv)).otherwise(chain)

@@ -35,10 +35,8 @@ from kgspark.fulltext import (  # noqa: E402  (re-exported operator surface)
     cross_encoder_rerank,
     fulltext_terms,
     lucene_sanitize,
+    tokens_col as _tokens,
 )
-
-def _tokens(col):
-    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
 
 
 def fulltext_search(df: DataFrame, text_col: str, query: str,

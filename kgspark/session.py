@@ -13,6 +13,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str:
+    """tmpfs shuffle dirs when /dev/shm is actually big enough (the sandbox
+    has 126G — the honest local stand-in for cluster NVMe+network shuffle);
+    plain system tmp otherwise (default Docker mounts /dev/shm at 64MB,
+    where a spilled shuffle would ENOSPC every wide stage)."""
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 * 1024 ** 3:
+            return "/dev/shm/kgspark-tmp"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def get_spark(app: str = "kgspark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cpus is None:
@@ -48,7 +62,7 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         # real cluster shuffles over NVMe + network. tmpfs is the honest
         # local stand-in (the box has 126G of /dev/shm)
         .config("spark.local.dir",
-                os.environ.get("KGSPARK_LOCAL_DIR", "/dev/shm/kgspark-tmp"))
+                os.environ.get("KGSPARK_LOCAL_DIR", _default_local_dir()))
         .config("spark.ui.enabled", "false")
         # event-log knob for offline stage/job attribution
         # (tools/joblog_report.py); off unless a dir is given

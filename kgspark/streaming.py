@@ -151,10 +151,22 @@ def streaming_contradiction_monitor(keyed_stream: DataFrame) -> DataFrame:
         else:
             uuids, valids, grps, clos, prev = [], [], [], [], {}
         seen = set(uuids)
+        capped = False
         for pdf in pdfs:
             for u, v, g, cl in zip(pdf["uuid"], pdf["valid_at"],
                                    pdf["grp"], pdf["closable"]):
-                if u in seen or len(uuids) >= MONITOR_MAX_FACTS:
+                if u in seen:
+                    continue
+                if len(uuids) >= MONITOR_MAX_FACTS:
+                    # explicit, logged bound — never a silent drop: past the
+                    # cap this key's output can no longer converge to the
+                    # batch temporal_pass, so say so on the executor log
+                    if not capped:
+                        capped = True
+                        print(f"WARN streaming_contradiction_monitor: key "
+                              f"{key[0]!r} exceeded MONITOR_MAX_FACTS="
+                              f"{MONITOR_MAX_FACTS}; dropping new facts — "
+                              f"route this hub key to the batch pass")
                     continue
                 seen.add(u)
                 uuids.append(u)

@@ -16,6 +16,23 @@ from pyspark.sql import functions as F
 
 from kgspark import textcore as tc
 
+
+def _memoized(fn):
+    """Per-task memo for a pure str->str function (normalization): web text
+    repeats names/facts heavily, so distinct-input work is the real cost.
+    Built fresh inside each mapInPandas generator — cache lifetime = one
+    task, so memory is bounded by distinct inputs per partition."""
+    cache: dict[str, str] = {}
+
+    def get(s: str) -> str:
+        v = cache.get(s)
+        if v is None:
+            v = cache[s] = fn(s)
+        return v
+
+    return get
+
+
 # ---------------------------------------------------------------------------
 # html -> text  (reference: the episode `content` ingest, graphiti.py:189-258)
 # ---------------------------------------------------------------------------
@@ -57,23 +74,24 @@ def extract_mentions(pages: DataFrame, entity_types=None) -> DataFrame:
     classifier = make_classifier(entity_types)
 
     def run(batches):
-        norm_memo: dict[str, str] = {}
+        norm = _memoized(tc.normalize_name)
         for pdf in batches:
             out = {"url": [], "group_id": [], "warc_ts": [], "name": [],
                    "label": [], "norm_name": []}
             for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
                                           pdf["warc_ts"], pdf["text"]):
                 for m in tc.extract_mentions(text, classifier):
-                    nn = norm_memo.get(m.name)
-                    if nn is None:
-                        nn = norm_memo[m.name] = tc.normalize_name(m.name)
                     out["url"].append(url)
                     out["group_id"].append(gid)
                     out["warc_ts"].append(ts)
                     out["name"].append(m.name)
                     out["label"].append(m.label)
-                    out["norm_name"].append(nn)
-            yield pd.DataFrame(out)
+                    out["norm_name"].append(norm(m.name))
+            if out["url"]:
+                # empty frames get pandas' default dtypes, which Arrow
+                # cannot cast to the declared schema (e.g. float64 ->
+                # timestamp) — a mention-free partition must yield nothing
+                yield pd.DataFrame(out)
 
     return pages.select("url", "group_id", "warc_ts", "text").mapInPandas(run, MENTIONS_DDL)
 
@@ -94,25 +112,12 @@ def extract_triples(pages: DataFrame) -> DataFrame:
     """Emits ``norm_subj``/``norm_obj`` directly (memoized python
     normalization — see extract_mentions note)."""
     def run(batches):
-        norm_memo: dict[str, str] = {}
-        fact_memo: dict[str, str] = {}
-
-        def norm(s):
-            nn = norm_memo.get(s)
-            if nn is None:
-                nn = norm_memo[s] = tc.normalize_name(s)
-            return nn
-
-        def normf(s):
-            # normalize_fact runs 5 date regexes + normalize_name; web text
-            # repeats the same fact sentence across pages (boilerplate,
-            # syndication) — memoizing per distinct fact cuts the dominant
-            # per-triple cost ~dup-ratio-fold (measured 7x on the bench corpus)
-            nf = fact_memo.get(s)
-            if nf is None:
-                nf = fact_memo[s] = tc.normalize_fact(s)
-            return nf
-
+        norm = _memoized(tc.normalize_name)
+        # normalize_fact runs 5 date regexes + normalize_name; web text
+        # repeats the same fact sentence across pages (boilerplate,
+        # syndication) — memoizing per distinct fact cuts the dominant
+        # per-triple cost ~dup-ratio-fold (measured 7x on the bench corpus)
+        normf = _memoized(tc.normalize_fact)
         for pdf in batches:
             rows = []
             for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
@@ -123,10 +128,12 @@ def extract_triples(pages: DataFrame) -> DataFrame:
                                  t.fact, t.valid_at, t.invalid_at,
                                  t.explicit_dates, normf(t.fact),
                                  norm(t.subject), norm(t.object)))
-            yield pd.DataFrame(rows, columns=[
-                "url", "group_id", "warc_ts", "subject", "predicate", "object",
-                "fact", "valid_at_explicit", "invalid_at_explicit",
-                "explicit_dates", "norm_fact", "norm_subj", "norm_obj"])
+            if rows:  # see extract_mentions: empty-frame dtype vs Arrow cast
+                yield pd.DataFrame(rows, columns=[
+                    "url", "group_id", "warc_ts", "subject", "predicate",
+                    "object", "fact", "valid_at_explicit",
+                    "invalid_at_explicit", "explicit_dates", "norm_fact",
+                    "norm_subj", "norm_obj"])
 
     return pages.select("url", "group_id", "warc_ts", "text").mapInPandas(run, TRIPLES_DDL)
 
@@ -160,21 +167,8 @@ def extract_page_events(pages: DataFrame, entity_types=None) -> DataFrame:
     classifier = make_classifier(entity_types)
 
     def run(batches):
-        norm_memo: dict[str, str] = {}
-        fact_memo: dict[str, str] = {}
-
-        def norm(s):
-            nn = norm_memo.get(s)
-            if nn is None:
-                nn = norm_memo[s] = tc.normalize_name(s)
-            return nn
-
-        def normf(s):
-            nf = fact_memo.get(s)
-            if nf is None:
-                nf = fact_memo[s] = tc.normalize_fact(s)
-            return nf
-
+        norm = _memoized(tc.normalize_name)
+        normf = _memoized(tc.normalize_fact)
         for pdf in batches:
             rows = []
             for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
@@ -190,11 +184,12 @@ def extract_page_events(pages: DataFrame, entity_types=None) -> DataFrame:
                                  t.valid_at, t.invalid_at, t.explicit_dates,
                                  normf(t.fact),
                                  norm(t.subject), norm(t.object)))
-            yield pd.DataFrame(rows, columns=[
-                "kind", "url", "group_id", "warc_ts", "name", "label",
-                "norm_name", "subject", "predicate", "object", "fact",
-                "valid_at_explicit", "invalid_at_explicit", "explicit_dates",
-                "norm_fact", "norm_subj", "norm_obj"])
+            if rows:  # see extract_mentions: empty-frame dtype vs Arrow cast
+                yield pd.DataFrame(rows, columns=[
+                    "kind", "url", "group_id", "warc_ts", "name", "label",
+                    "norm_name", "subject", "predicate", "object", "fact",
+                    "valid_at_explicit", "invalid_at_explicit",
+                    "explicit_dates", "norm_fact", "norm_subj", "norm_obj"])
 
     return pages.select("url", "group_id", "warc_ts", "text") \
         .mapInPandas(run, EVENTS_DDL)

@@ -192,3 +192,94 @@ def test_clear_data(spark, tmp_path):
     (base / "nodes" / "x.parquet").write_text("stub")
     clear_data(spark, str(base))
     assert not base.exists()
+
+
+# ---------------------------------------------------------------------------
+# round-2 review regressions (code-review findings)
+# ---------------------------------------------------------------------------
+
+def test_ivf_centroids_fewer_vectors_than_k(spark):
+    # requesting more clusters than vectors degrades instead of crashing
+    from kgspark import datapipe as dp
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]}))
+    cents = dp.ivf_centroids(emb, k=16, iters=1)
+    assert 1 <= len(cents) <= 3
+    out = dp.ann_ivf(emb, [1.0, 0.0], k=2, n_clusters=16, nprobe=16, iters=1)
+    assert out.count() == 2
+
+
+def test_registry_reserved_attribute_key(spark):
+    # a registered schema colliding with the built-in attributes map keys
+    # ('entity_type'/'mention_count') must not blow up map_concat
+    from kgspark.datagen import pages_spark
+    from kgspark.pipeline import build_graph
+    reg = EntityTypeRegistry((EntityType(
+        name="Clashy", keywords=("alice",),
+        attributes=(("entity_type", "shadowed"), ("custom", "ok"))),))
+    pages = pages_spark(spark, 20)
+    out = build_graph(pages, BATCH_TS, check_text=False,
+                      compute_embeddings=False, entity_types=reg)
+    rows = out["nodes"].select("attributes").collect()
+    assert rows  # executes without DUPLICATE_MAP_KEY
+    for r in rows:
+        assert "entity_type" in r["attributes"]
+
+
+def test_write_tables_escaped_partition_cleanup(spark, tmp_path):
+    # group ids with Hive-escaped characters (':' -> '%3A' on disk): the
+    # stale-partition delete must match the DECODED partition value
+    base = str(tmp_path / "esc")
+    df1 = spark.createDataFrame(pd.DataFrame({
+        "group_id": ["g:1"], "x": [1]}))
+    df1.write.partitionBy("group_id").parquet(f"{base}/nodes")
+    on_disk = [p.name for p in (tmp_path / "esc" / "nodes").glob("group_id=*")]
+    assert on_disk and "%3A" in on_disk[0]  # precondition: Spark escaped it
+    empty = spark.createDataFrame([], "group_id string, x long")
+    io.write_tables({"nodes": empty}, base, groups=["g:1"])
+    stale = [p for p in (tmp_path / "esc" / "nodes").glob("group_id=*")]
+    assert stale == []  # the escaped dir was found and removed
+
+
+def test_run_resumable_empty_tables(spark, tmp_path):
+    # a batch whose pages yield zero mentions/edges leaves table dirs with
+    # no parquet files; the metrics read-back must record 0s, not crash
+    base = str(tmp_path / "empty")
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": ["http://x/1"], "group_id": ["g0"],
+        "warc_ts": [pd.Timestamp("2024-01-01")],
+        "html": ["<p>nothing here.</p>"], "text": ["nothing here."],
+        "lang": ["en"]}))
+    summary = io.run_resumable(spark, pages, base, BATCH_TS,
+                               compute_embeddings=False)
+    assert summary["groups_processed"] == 1
+    recs = io.completed_groups(base)
+    assert recs == {"g0"}
+
+
+def test_py_tokens_matches_tokens_col(spark):
+    # the python tokenizer and the Column tokenizer are twins
+    texts = ["Hello, World! 42", "a+b=c", "", "ünïcode stays out", "one"]
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    jvm = [r["toks"] for r in
+           df.select(fulltext.tokens_col(F.col("t")).alias("toks")).collect()]
+    py = [fulltext.py_tokens(t) for t in texts]
+    # tokens_col keeps only [a-z0-9] runs; py_tokens keeps alnum runs
+    # (unicode letters). For the ascii corpus contract they agree.
+    assert jvm[:3] == py[:3] and jvm[4] == py[4]
+
+
+def test_corpus_dedup_large_ids(spark):
+    # %019d padding: lexicographic min == numeric min past 10^12
+    from kgspark import datapipe as dp
+    big = 10 ** 12
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [999999999999, big, big + 5],
+        "text": ["same dup text here", "same dup text here",
+                 "totally different content"]}))
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in dp.corpus_dedup(docs).collect()}
+    assert out[999999999999] == 999999999999
+    assert out[big] == 999999999999  # numeric min, not lexicographic
+    assert out[big + 5] == big + 5

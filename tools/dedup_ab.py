@@ -4,8 +4,10 @@ Materializes the canonical-triples input (the dedup input in the real DAG)
 once to parquet, then times each variant over the same input several times.
 
 Usage: [taskset -c 0-7] python tools/dedup_ab.py <pages> <cpus> <variant>[,variant...]
-Variants: base (current two-phase salted), nofallback (base + high
-ObjectHashAggregate fallback threshold), nosalt, sortscan.
+Variants: ``salted`` (two-phase, n_salts=16) | ``nosalt`` (single-phase),
+each optionally prefixed ``lowfb-`` to restore the 128-key
+ObjectHashAggregate sort-fallback threshold that kgspark/session.py raises
+(e.g. ``salted,nosalt,lowfb-nosalt``).
 """
 from __future__ import annotations
 
