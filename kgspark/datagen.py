@@ -93,6 +93,12 @@ def _zipf(rng: random.Random, n: int) -> int:
     return min(n - 1, int(n * (rng.random() ** 3)))
 
 
+def _long_date(d: datetime) -> str:
+    # portable 'March 5, 2024' (strftime %-d is glibc-only; %d would emit a
+    # zero-padded day that _LONG_DATE does not match)
+    return f"{d.strftime('%B')} {d.day}, {d.year}"
+
+
 def _date_str(d: datetime) -> str:
     return d.strftime("%Y-%m-%d")
 
@@ -134,7 +140,7 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random,
         s.append(f"{_person(p)} dislikes {_brand(b)}")
     elif role == 1:
         s.append(f"{_person(p)} works for {_brand(b)} since "
-                 f"{story_day.strftime('%B %-d, %Y')}")
+                 f"{_long_date(story_day)}")
     elif role == 6:
         s.append(f"{_person(p)} no longer works for {_brand(b)}")
     elif role == 2:
@@ -148,7 +154,12 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random,
         ev = f"{_EVENTS[sid % len(_EVENTS)]} {_date_str(story_day + timedelta(days=35))}"
         s.append(f"{_person(p)} resolves {ev}")
     elif role == 4:
-        # duplicate fact via alias subject -> exercises linking + provenance merge
+        # restated fact under an alias surface form: exercises entity
+        # linking (alias -> canonical endpoint). NOTE: the two surface
+        # forms keep distinct norm_fact dedup classes BY DESIGN (dedup
+        # class = exact normalized sentence), so this yields two edges on
+        # the same canonical pair, not a provenance merge; provenance
+        # merging is exercised by verbatim restatements across pages.
         s.append(f"{_person_alias(p)} likes {_brand(b)}")
     else:  # role 9: misc relations over Zipf-skewed hub entities
         s.extend(_misc_sentences(rng, n_people, n_brands, rng.randint(1, 3)))
@@ -160,7 +171,7 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random,
     if role == 9 and rng.random() < 0.3:
         d0 = BASE_TS + timedelta(days=rng.randint(0, 200))
         s.append(f"{_campaign(rng.randint(0, 40))} features {_brand(rng.randint(0, n_brands - 1))} "
-                 f"from {d0.strftime('%B %-d, %Y')} to {(d0 + timedelta(days=30)).strftime('%B %-d, %Y')}")
+                 f"from {_long_date(d0)} to {_long_date(d0 + timedelta(days=30))}")
     rng.shuffle(s)
     # filler (lowercase: never extracted)
     for _ in range(rng.randint(1, 2)):

@@ -111,6 +111,13 @@ def build_filter(spec: dict) -> Column:
             "edge_types": ["LIKES", "WORKS_FOR"],
         })
     """
+    known = set(_DATE_FIELDS) | {"node_labels", "edge_types", "group_ids"}
+    unknown = set(spec) - known
+    if unknown:
+        # SearchFilters is a typed model in the reference — a typo'd key
+        # must fail loudly, not silently return an unfiltered predicate
+        raise ValueError(f"build_filter: unknown filter key(s) {sorted(unknown)}; "
+                         f"expected one of {sorted(known)}")
     conds: list[Column] = []
     for field in _DATE_FIELDS:
         groups = spec.get(field)

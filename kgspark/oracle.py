@@ -20,6 +20,7 @@ from datetime import datetime
 import pandas as pd
 
 from kgspark import textcore as tc
+from kgspark.dedup import MAX_PROVENANCE
 
 
 @dataclass
@@ -50,7 +51,10 @@ class OEdge:
     created_at: datetime | None = None
     valid_at: datetime | None = None
     invalid_at_explicit: datetime | None = None
-    first_key: tuple | None = None  # (warc_ts, url) of first occurrence
+    first_key: tuple | None = None  # (warc_ts, url, fact) keep-first key
+    # NOTE: fact participates in the key so same-(ts,url) ties resolve
+    # lexicographically — bit-identical to dedup.py's
+    # F.min(struct(warc_ts, url, fact))
     last_explicit_valid: tuple | None = None   # (warc_ts, url, ts)
     last_explicit_invalid: tuple | None = None
 
@@ -119,10 +123,11 @@ def run_oracle(pages: pd.DataFrame) -> dict[str, pd.DataFrame]:
                     cands.update(by_block[(gid, tok0)])
                     by_block[(gid, tok0)].append(ext)
                 # 3. duplicate decision + union (resolve_extracted_node)
+                # candidates are inserted only when non-dynamic (above),
+                # so no DynamicEvent re-check is needed here — same
+                # invariant as linking.candidate_pairs' filter
                 for cand in sorted(cands):
                     other = entities[cand]
-                    if other.label == "DynamicEvent":
-                        continue
                     if tc.should_link(m.name, other.name):
                         uf.union(ext, cand)
             mentions_rows.append({
@@ -148,16 +153,29 @@ def run_oracle(pages: pd.DataFrame) -> dict[str, pd.DataFrame]:
                     break
             if existing is None:
                 existing = OEdge(gid, src, t.predicate, dst, t.fact, nf,
-                                 created_at=ts, first_key=(ts, url))
+                                 created_at=ts, first_key=(ts, url, t.fact))
                 edges.append(existing)
                 edge_index[(gid, t.predicate, nf)].append(existing)
+            elif (ts, url, t.fact) < existing.first_key:
+                # same class restated in the same episode with a different
+                # surface form: keep the struct-min fact, matching Spark
+                existing.first_key = (ts, url, t.fact)
+                existing.fact = t.fact
             existing.episodes.append(url)
             existing.created_at = min(existing.created_at, ts)
             if t.explicit_dates:
+                # struct-max semantics (F.max(when(...)) over
+                # (warc_ts, url, date)) — not last-in-document-order
                 if t.valid_at is not None:
-                    existing.last_explicit_valid = (ts, url, t.valid_at)
+                    cand = (ts, url, t.valid_at)
+                    if (existing.last_explicit_valid is None
+                            or cand > existing.last_explicit_valid):
+                        existing.last_explicit_valid = cand
                 if t.invalid_at is not None:
-                    existing.last_explicit_invalid = (ts, url, t.invalid_at)
+                    cand = (ts, url, t.invalid_at)
+                    if (existing.last_explicit_invalid is None
+                            or cand > existing.last_explicit_invalid):
+                        existing.last_explicit_invalid = cand
 
     # final consolidation (compress_uuid_map analog, bulk_utils.py:314-323):
     # canonicalize endpoints, re-merge edges that became identical
@@ -169,7 +187,7 @@ def run_oracle(pages: pd.DataFrame) -> dict[str, pd.DataFrame]:
         k = (e.group_id, src, e.predicate, dst, e.norm_fact)
         if k in final_edges:
             f = final_edges[k]
-            f.episodes = sorted(set(f.episodes) | set(e.episodes))
+            f.episodes = sorted(set(f.episodes) | set(e.episodes))[:MAX_PROVENANCE]
             f.created_at = min(f.created_at, e.created_at)
             if e.first_key < f.first_key:
                 f.first_key, f.fact = e.first_key, e.fact
@@ -179,7 +197,7 @@ def run_oracle(pages: pd.DataFrame) -> dict[str, pd.DataFrame]:
                         if (a or b) else None)
         else:
             e2 = OEdge(e.group_id, src, e.predicate, dst, e.fact, e.norm_fact,
-                       sorted(set(e.episodes)), e.created_at, None, None,
+                       sorted(set(e.episodes))[:MAX_PROVENANCE], e.created_at, None, None,
                        e.first_key, e.last_explicit_valid, e.last_explicit_invalid)
             final_edges[k] = e2
 

@@ -92,7 +92,12 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     emb_all = udfs.embed_entities(entities).localCheckpoint()
     pairs = linking.candidate_pairs(entities)
     alias_pairs = linking.score_pairs(entities, pairs, emb=emb_all)
-    mapping = cc.connected_components(alias_pairs)  # ext_uuid -> canonical
+    # LAZY checkpoint (eager=False): no extra job/barrier on a single-action
+    # build, but the 4 downstream consumers (alias_map, nodes, mentions,
+    # triples) reuse the materialized mapping across separate write/count
+    # jobs instead of re-running the pair join + union-find per table
+    mapping = cc.connected_components(alias_pairs) \
+        .localCheckpoint(eager=False)  # ext_uuid -> canonical
     out["alias_map"] = mapping
 
     # stage 3: canonical nodes table (nodes.py:78-86,287-292 schema)
@@ -229,7 +234,10 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     )
     triples_canon = cc.resolve_pointers(triples_keyed, mapping,
                                         ["src_uuid", "dst_uuid"])
-    edges_merged = dedup.dedup_edges(triples_canon)
+    # lazy checkpoint for the same reason as `mapping`: the edges,
+    # edge_invalidations, and episodes table jobs would otherwise each
+    # re-run the triple extraction scan + entity join + dedup exchange
+    edges_merged = dedup.dedup_edges(triples_canon).localCheckpoint(eager=False)
     edges_resolved, invalidations = temporal.temporal_pass(edges_merged, batch_ts)
 
     if compute_embeddings:
