@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
-_KG_CACHE: dict[int, dict] = {}
+_KG_CACHE: dict[str, dict] = {}
 
 
 def _kg(spark: SparkSession):
@@ -68,15 +68,23 @@ def _kg(spark: SparkSession):
     # the extraction intermediates to parquet so the kg_* DuckDB oracles
     # (kgspark/kg_oracle.py) can recompute linking / closure / dedup /
     # temporal independently in SQL.
-    key = id(spark)
+    # Keyed by applicationId, not id(spark): a fresh session allocated at
+    # a recycled CPython address must not be served checkpointed
+    # DataFrames bound to a dead SparkContext.
+    key = spark.sparkContext.applicationId
     if key not in _KG_CACHE:
         from kgspark import kg_oracle
         from kgspark.datagen import pages_spark
         from kgspark.pipeline import build_graph
         pages = pages_spark(spark, KG_PAGES)
-        out = build_graph(pages, check_text=False, compute_embeddings=True)
-        cached = {k: v.localCheckpoint() for k, v in out.items()}
-        kg_oracle.materialize(spark, pages, cached["edges"])
+        out = build_graph(pages, check_text=False, compute_embeddings=True,
+                          expose_intermediates=True)
+        # underscore keys are already (lazily) checkpointed by build_graph;
+        # eager-checkpointing them again would re-run the extraction scan
+        cached = {k: (v if k.startswith("_") else v.localCheckpoint())
+                  for k, v in out.items()}
+        kg_oracle.materialize(spark, pages, cached["edges"],
+                              intermediates=cached)
         _KG_CACHE[key] = cached
     return _KG_CACHE[key]
 

@@ -16,7 +16,7 @@ checks.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
@@ -26,12 +26,21 @@ class EntityType:
     Match rules (checked in order): full-name regex ``pattern``, last-token
     ``suffixes``, first-token ``keywords``. ``attributes`` is the static
     attribute schema stamped onto nodes of this type (the deterministic
-    analog of the reference's per-type Pydantic model fields)."""
+    analog of the reference's per-type Pydantic model fields).
+
+    ``dynamic``: mark True for event-like types whose instances must NEVER
+    merge in entity linking and instead chain via PREVIOUS_INSTANCE —
+    the custom-type analog of the built-in DynamicEvent never-merge
+    invariant (node_operations.py:56-64,379-394). A registry type that
+    shadows names the built-in classifier would call DynamicEvent (e.g.
+    keyword 'Outage' over 'Outage 2024-01-05') should set this, otherwise
+    its recurrences become linkable."""
     name: str
     pattern: str | None = None
     suffixes: tuple[str, ...] = ()
     keywords: tuple[str, ...] = ()
     attributes: tuple[tuple[str, str], ...] = ()
+    dynamic: bool = False
 
     def matches(self, entity_name: str) -> bool:
         toks = entity_name.split()
@@ -59,6 +68,17 @@ class EntityTypeRegistry:
             if t.name == label:
                 return dict(t.attributes)
         return {}
+
+    def dynamic_labels(self) -> frozenset[str]:
+        """All labels whose instances never merge in linking: the built-in
+        DynamicEvent plus every registered type with dynamic=True."""
+        return frozenset({"DynamicEvent"}
+                         | {t.name for t in self.types if t.dynamic})
+
+
+def dynamic_labels(registry: EntityTypeRegistry | None) -> frozenset[str]:
+    return registry.dynamic_labels() if registry is not None \
+        else frozenset({"DynamicEvent"})
 
 
 def make_classifier(registry: EntityTypeRegistry | None):

@@ -49,9 +49,17 @@ def py_tokens(text: str) -> list[str]:
 
 
 def fulltext_terms(query: str, max_terms: int = MAX_QUERY_TERMS) -> list[str]:
-    """Sanitize, lowercase, tokenize, cap at 32 terms (the analog of
-    fulltext_query building a fuzzy OR-query)."""
-    return py_tokens(lucene_sanitize(query))[:max_terms]
+    """Lowercase, tokenize, cap at 32 terms (the analog of fulltext_query
+    building a fuzzy OR-query, search_utils.py:53-73).
+
+    NOTE: terms come from the RAW query, not lucene_sanitize(query) — the
+    escaping exists to keep operator characters inert inside a real Lucene
+    query string; tokenizing the escaped form would fragment words around
+    the inserted backslashes ('NASA' -> ['n','as','a'], 'McDonald' ->
+    ['mc','donald']) and miss every corpus token. Our scorer matches terms
+    against tokens_col output, so the query must be tokenized identically
+    to the corpus."""
+    return py_tokens(query)[:max_terms]
 
 
 def tokens_col(col):

@@ -50,13 +50,19 @@ BATCH_TS_SQL = "TIMESTAMP '2025-01-01'"
 
 
 def materialize(spark: SparkSession, pages: DataFrame,
-                edges: DataFrame, out_dir: str = KG_ORACLE_DIR) -> None:
+                edges: DataFrame, out_dir: str = KG_ORACLE_DIR,
+                intermediates: dict | None = None) -> None:
     """Write the oracle input parquet files (single-file, atomic rename).
 
     This is the PARITY path for the small driver fixture (240 pages), not
     the production write path — tables are collected via toPandas and
     written as single parquet files so the DuckDB oracle can read them by
     absolute path.
+
+    ``intermediates``: the underscore-keyed extraction intermediates from
+    ``build_graph(expose_intermediates=True)`` — when provided, the
+    dominant Python-UDF extraction front-end is NOT re-run here (it used
+    to roughly double per-session extraction CPU).
     """
     import pandas as pd
 
@@ -64,11 +70,20 @@ def materialize(spark: SparkSession, pages: DataFrame,
     from kgspark.textcore import hash_embedding
 
     os.makedirs(out_dir, exist_ok=True)
-    mentions_raw = udfs.extract_mentions(pages)
-    triples_raw = udfs.extract_triples(pages)
-    entities = linking.distinct_entities(mentions_raw)
+    inter = intermediates or {}
+    mentions_raw = inter.get("_mentions_raw")
+    if mentions_raw is None:
+        mentions_raw = udfs.extract_mentions(pages)
+    triples_raw = inter.get("_triples_raw")
+    if triples_raw is None:
+        triples_raw = udfs.extract_triples(pages)
+    entities = inter.get("_entities")
+    if entities is None:
+        entities = linking.distinct_entities(mentions_raw)
     bands = udfs.entity_band_keys(entities.filter(~F.col("is_dynamic")))
-    emb = udfs.embed_entities(entities)
+    emb = inter.get("_embeddings")
+    if emb is None:
+        emb = udfs.embed_entities(entities)
     lp = communities.label_propagation(communities.adjacency(edges))
     frames = {
         "pages_meta": pages.select("url", "lang").toPandas(),
@@ -89,6 +104,21 @@ def _norm(col: str) -> str:
     """textcore.normalize_name in DuckDB."""
     return ("trim(regexp_replace(regexp_replace(lower(" + col + "), "
             "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def _norm_fact(col: str) -> str:
+    """textcore.normalize_fact in DuckDB: strip the SAME date-phrase
+    regexes before normalize_name, so a fact restated with/without its
+    date phrase lands in the same dedup class on both sides (the patterns
+    are RE2-compatible: no backrefs/lookarounds)."""
+    from kgspark import textcore as tc
+
+    s = col
+    for rx in (tc._FROM_TO_RE, tc._SINCE_RE, tc._ON_RE, tc._UNTIL_RE,
+               tc._REL_RE):
+        pat = rx.pattern.replace("'", "''")
+        s = f"regexp_replace({s}, '{pat}', ' ', 'g')"
+    return _norm(s)
 
 
 def _in_list(preds) -> str:
@@ -311,7 +341,7 @@ def _add_triplets_sql() -> str:
     tk AS (
       SELECT *, md5('ent|' || group_id || '|' || norm_subj) AS src_uuid,
                 md5('ent|' || group_id || '|' || norm_obj) AS dst_uuid,
-                {_norm('fact')} AS norm_fact
+                {_norm_fact('fact')} AS norm_fact
       FROM tt),
     ded AS (
       SELECT group_id, src_uuid, predicate, dst_uuid, norm_fact,
@@ -487,20 +517,27 @@ def oracle_queries(d: str = KG_ORACLE_DIR) -> dict[str, str]:
                 WHERE tok IN ('priya', 'sharma') GROUP BY uuid, tok),
         ndf AS (SELECT tok, count(DISTINCT uuid)::DOUBLE AS dfreq
                 FROM ntf GROUP BY tok),
-        -- Lucene BM25, k1=1.2 b=0.75 (kgspark/fulltext.py twin)
+        -- Lucene BM25, k1=1.2 b=0.75 (kgspark/fulltext.py twin).
+        -- The filter/order/top-40 candidate cut happens on the RAW score
+        -- inside the subquery (matching bm25_search/similarity_search,
+        -- which cut before hybrid_search rounds); DuckDB binds an outer
+        -- ORDER BY to the rounded select alias, which would let a lower
+        -- raw score win a rounded tie at the boundary.
         ft AS (SELECT uuid, round(score, 9) AS score FROM (
-                 SELECT t.uuid,
-                        sum(ln(1 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
-                            * t.tf / (t.tf + 1.2 * (1 - 0.75
-                                      + 0.75 * l.dlen / s.avgdl))) AS score
-                 FROM ntf t JOIN ndf d USING (tok) JOIN ndl l USING (uuid),
-                      nst s
-                 GROUP BY t.uuid) t
-               WHERE score > 0 ORDER BY score DESC, uuid LIMIT 40),
+                 SELECT uuid, score FROM (
+                   SELECT t.uuid,
+                          sum(ln(1 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                              * t.tf / (t.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * l.dlen / s.avgdl))) AS score
+                   FROM ntf t JOIN ndf d USING (tok) JOIN ndl l USING (uuid),
+                        nst s
+                   GROUP BY t.uuid) raw
+                 WHERE score > 0 ORDER BY score DESC, uuid LIMIT 40) t),
         sim AS (SELECT uuid, round(score, 9) AS score FROM (
-                  SELECT n.uuid, list_cosine_similarity(n.v, q.qv) AS score
-                  FROM nemb n, qe q) t
-                WHERE score > 0.6 ORDER BY score DESC, uuid LIMIT 40),
+                  SELECT uuid, score FROM (
+                    SELECT n.uuid, list_cosine_similarity(n.v, q.qv) AS score
+                    FROM nemb n, qe q) raw
+                  WHERE score > 0.6 ORDER BY score DESC, uuid LIMIT 40) t),
         ranked AS (
           SELECT uuid, row_number() OVER (ORDER BY score DESC, uuid) AS rank
           FROM ft

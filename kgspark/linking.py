@@ -39,12 +39,19 @@ HOT_KEY_THRESHOLD = 256
 N_SALTS = 8
 
 
-def distinct_entities(mentions: DataFrame) -> DataFrame:
+def distinct_entities(mentions: DataFrame, entity_types=None) -> DataFrame:
     """One row per (group_id, normalized name): the unit of linking.
 
     ``ext_uuid`` is deterministic (md5 of group + normalized name) so both
     the Spark DAG and the oracle agree on pre-canonicalization identity.
+
+    ``entity_types``: the registry the mentions were classified with, if
+    any — custom types with dynamic=True join DynamicEvent in the
+    never-merge set (is_dynamic), keeping the pipeline consistent with
+    textcore.should_link's veto.
     """
+    from kgspark.entity_types import dynamic_labels
+    dyn = dynamic_labels(entity_types)
     if "norm_name" not in mentions.columns:
         mentions = mentions.withColumn(
             "norm_name", udfs.norm_name_col(F.col("name")))
@@ -73,7 +80,7 @@ def distinct_entities(mentions: DataFrame) -> DataFrame:
         )
         .withColumn("ext_uuid", F.md5(F.concat_ws("|", F.lit("ent"),
                                                   F.col("group_id"), F.col("norm_name"))))
-        .withColumn("is_dynamic", F.col("label") == F.lit("DynamicEvent"))
+        .withColumn("is_dynamic", F.col("label").isin(*sorted(dyn)))
     )
     return e
 

@@ -128,7 +128,13 @@ def run_oracle(pages: pd.DataFrame) -> dict[str, pd.DataFrame]:
                 # invariant as linking.candidate_pairs' filter
                 for cand in sorted(cands):
                     other = entities[cand]
-                    if tc.should_link(m.name, other.name):
+                    # pass the label-derived flags (both False here: dynamic
+                    # mentions never reach candidate insertion above) so the
+                    # spec rule uses the same authority as the Spark DAG's
+                    # is_dynamic filter rather than re-classifying names
+                    if tc.should_link(m.name, other.name,
+                                      dynamic_a=m.label == "DynamicEvent",
+                                      dynamic_b=other.label == "DynamicEvent"):
                         uf.union(ext, cand)
             mentions_rows.append({
                 "episode_uuid": url, "node_uuid": ext, "group_id": gid,

@@ -31,7 +31,8 @@ from kgspark import cc, dedup, linking, temporal, udfs
 def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
                 check_text: bool = True,
                 compute_embeddings: bool = True,
-                entity_types=None) -> dict[str, DataFrame]:
+                entity_types=None,
+                expose_intermediates: bool = False) -> dict[str, DataFrame]:
     """Run the full construction DAG. Returns the output tables
     (FIXTURES.md §2 schemas): nodes, edges, mentions, episodes,
     edge_invalidations, previous_instance_edges, alias_map, plus
@@ -41,6 +42,15 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     custom entity labels + typed attribute schemas
     (add_episode(entity_types=...) analog, graphiti.py:199,
     node_operations.py:338-341).
+
+    ``expose_intermediates``: additionally return the extraction
+    intermediates under underscore keys (_mentions_raw, _triples_raw,
+    _entities, _embeddings), with the raw extraction outputs wrapped in
+    LAZY localCheckpoints so a consumer that reads them after the build
+    (e.g. kg_oracle.materialize) reuses the materialized rows instead of
+    re-running the dominant Python-UDF scan. Off by default: the lazy
+    wrap makes the first consumer materialize the full raw extraction
+    output, which single-action builds (bench) don't want.
     """
     if batch_ts is None:
         batch_ts = datetime(2025, 1, 1)
@@ -75,9 +85,14 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     else:
         mentions_raw = udfs.extract_mentions(pages, entity_types)
         triples_raw = udfs.extract_triples(pages)
+    if expose_intermediates:
+        mentions_raw = mentions_raw.localCheckpoint(eager=False)
+        triples_raw = triples_raw.localCheckpoint(eager=False)
+        out["_mentions_raw"] = mentions_raw
+        out["_triples_raw"] = triples_raw
 
     # stage 2: entity linking
-    entities = linking.distinct_entities(mentions_raw)
+    entities = linking.distinct_entities(mentions_raw, entity_types)
     # spread the materialized entity table across the cluster BEFORE
     # checkpointing: AQE coalesces the distinct aggregation's output to a
     # single partition at bench scale (tiny bytes), which would serialize
@@ -90,6 +105,9 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     # ONE embedding pass per build: reused by pair scoring and the nodes
     # table (was computed twice — VERDICT r1)
     emb_all = udfs.embed_entities(entities).localCheckpoint()
+    if expose_intermediates:
+        out["_entities"] = entities      # already eagerly checkpointed
+        out["_embeddings"] = emb_all     # already eagerly checkpointed
     pairs = linking.candidate_pairs(entities)
     alias_pairs = linking.score_pairs(entities, pairs, emb=emb_all)
     # LAZY checkpoint (eager=False): no extra job/barrier on a single-action

@@ -44,6 +44,8 @@ def fulltext_search(df: DataFrame, text_col: str, query: str,
     terms = [t for t in query.lower().split() if t][:32]
     if group_ids:
         df = df.filter(F.col("group_id").isin(group_ids))
+    if not terms:  # same empty-query guard as bm25_search (schema-preserving)
+        return df.withColumn("score", F.lit(0.0)).limit(0)
     toks = _tokens(F.col(text_col))
     score = None
     for t in terms:

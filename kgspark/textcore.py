@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timedelta
 
 # ---------------------------------------------------------------------------
@@ -62,16 +62,19 @@ _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
 
 
 def _decode_entity(m: re.Match) -> str:
+    # OverflowError: a numeric reference beyond the C-int range (crawled
+    # garbage like &#12345678901234567890123;) must degrade to the literal
+    # text, not kill the extraction stage
     body = m.group(1)
     if body.startswith("#x") or body.startswith("#X"):
         try:
             return chr(int(body[2:], 16))
-        except ValueError:
+        except (ValueError, OverflowError):
             return m.group(0)
     if body.startswith("#"):
         try:
             return chr(int(body[1:]))
-        except ValueError:
+        except (ValueError, OverflowError):
             return m.group(0)
     return _ENTITIES.get(body.lower(), m.group(0))
 
@@ -299,14 +302,21 @@ _REL_RE = re.compile(r"\b(yesterday|last week|last month)\b")
 _ABS_DATE_HINT_RE = re.compile(r"\d{4}")
 
 
-def _parse_date_token(tok: str) -> datetime:
-    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", tok)
-    if m:
-        return datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-    m = re.fullmatch(r"([A-Za-z]+) (\d{1,2}), (\d{4})", tok)
-    if m:
-        return datetime(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
-    raise ValueError(tok)
+def _parse_date_token(tok: str) -> datetime | None:
+    """None for syntactically date-shaped but calendar-invalid tokens
+    ('2024-13-45', 'May 99, 2024') — web text carries date-like serial
+    numbers, and a ValueError here would kill the whole extraction task."""
+    try:
+        m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", tok)
+        if m:
+            return datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        m = re.fullmatch(r"([A-Za-z]+) (\d{1,2}), (\d{4})", tok)
+        if m:
+            return datetime(int(m.group(3)), _MONTHS[m.group(1).lower()],
+                            int(m.group(2)))
+    except ValueError:
+        return None
+    return None
 
 
 def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datetime | None, bool]:
@@ -321,17 +331,23 @@ def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datet
     invalid: datetime | None = None
     explicit = False
     if _ABS_DATE_HINT_RE.search(sentence) is not None:
+        # a calendar-invalid token parses to None and contributes no date
+        # (and no explicitness); a from-to with both ends invalid falls
+        # through to the remaining patterns
         m = _FROM_TO_RE.search(sentence)
         if m:
-            return _parse_date_token(m.group(1)), _parse_date_token(m.group(2)), True
+            v = _parse_date_token(m.group(1))
+            inv = _parse_date_token(m.group(2))
+            if v is not None or inv is not None:
+                return v, inv, True
         m = _SINCE_RE.search(sentence) or _ON_RE.search(sentence)
         if m:
             valid = _parse_date_token(m.group(1))
-            explicit = True
+            explicit = valid is not None
         m = _UNTIL_RE.search(sentence)
         if m:
             invalid = _parse_date_token(m.group(1))
-            explicit = True
+            explicit = explicit or invalid is not None
     if valid is None:
         m = _REL_RE.search(sentence)
         if m:
@@ -538,13 +554,25 @@ def is_abbreviation_pair(a: str, b: str) -> bool:
     return all(l.startswith(s) for s, l in zip(short, long_))
 
 
-def should_link(name_a: str, name_b: str) -> bool:
+def should_link(name_a: str, name_b: str,
+                dynamic_a: bool | None = None,
+                dynamic_b: bool | None = None) -> bool:
     """The single linking decision rule shared by oracle and Spark pipeline:
     exact normalized match, abbreviation alias, or shingle-Jaccard + embedding
     cosine above thresholds. Dynamic events NEVER link (they chain via
-    PREVIOUS_INSTANCE instead — node_operations.py:56-64,379-394)."""
+    PREVIOUS_INSTANCE instead — node_operations.py:56-64,379-394).
+
+    ``dynamic_a``/``dynamic_b``: the caller's authoritative dynamic flags
+    (from the mention label, possibly a custom EntityTypeRegistry type with
+    dynamic=True). When omitted, falls back to the built-in classifier —
+    callers that classify with a registry MUST pass the flags so the spec
+    and the pipeline agree."""
     na, nb = normalize_name(name_a), normalize_name(name_b)
-    if classify_name(name_a) == "DynamicEvent" or classify_name(name_b) == "DynamicEvent":
+    if dynamic_a is None:
+        dynamic_a = classify_name(name_a) == "DynamicEvent"
+    if dynamic_b is None:
+        dynamic_b = classify_name(name_b) == "DynamicEvent"
+    if dynamic_a or dynamic_b:
         return False
     if na == nb:
         return True

@@ -283,3 +283,64 @@ def test_corpus_dedup_large_ids(spark):
     assert out[999999999999] == 999999999999
     assert out[big] == 999999999999  # numeric min, not lexicographic
     assert out[big + 5] == big + 5
+
+
+def test_fulltext_terms_interior_operator_letters():
+    # terms come from the raw query: sanitize-then-tokenize fragmented
+    # words around escaped O/R/N/T/A/D letters ('NASA' -> ['n','as','a'])
+    # and matched nothing against the corpus tokenizer (r2 review finding)
+    assert fulltext.fulltext_terms("NASA Report") == ["nasa", "report"]
+    assert fulltext.fulltext_terms("McDonald") == ["mcdonald"]
+    assert fulltext.fulltext_terms("scan join filter") == ["scan", "join", "filter"]
+
+
+def test_fulltext_search_empty_query(spark):
+    # empty/whitespace query -> zero rows, same guard as bm25_search
+    df = spark.createDataFrame([("u1", "some text", "g")],
+                               "uuid string, text string, group_id string")
+    assert search.fulltext_search(df, "text", "").count() == 0
+    assert search.fulltext_search(df, "text", "   ").count() == 0
+
+
+def test_dynamic_custom_type_never_merges(spark):
+    # EntityType(dynamic=True): instances of a custom event-like type keep
+    # the DynamicEvent never-merge invariant and chain via PREVIOUS_INSTANCE
+    from kgspark.pipeline import build_graph
+
+    rows = [("http://a", "g", datetime(2024, 1, 5),
+             b"<p>Outage 2024-01-05 hits Glowco.</p>",
+             "Outage 2024-01-05 hits Glowco.", "en"),
+            ("http://b", "g", datetime(2024, 1, 6),
+             b"<p>Outage 2024-01-06 hits Glowco.</p>",
+             "Outage 2024-01-06 hits Glowco.", "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, group_id string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    registry = EntityTypeRegistry(types=(
+        EntityType(name="ServiceEvent", keywords=("Outage",), dynamic=True),))
+    out = build_graph(pages, check_text=False, compute_embeddings=False,
+                      entity_types=registry)
+    events = out["nodes"].filter(F.array_contains("labels", "ServiceEvent")).collect()
+    assert len(events) == 2, "dynamic instances must never merge"
+    chains = out["previous_instance_edges"].collect()
+    assert len(chains) == 1 and chains[0]["name"] == "PREVIOUS_INSTANCE"
+
+
+def test_add_triplets_sql_norm_fact_parity():
+    # the DuckDB twin of triplets.add_triplets must strip date phrases from
+    # the fact exactly like textcore.normalize_fact (r2 review finding)
+    import duckdb
+    from kgspark import textcore as tc
+    from kgspark.kg_oracle import _norm_fact
+
+    con = duckdb.connect()
+    samples = [
+        "Bo Chen works for Glowco since March 5, 2024",
+        "Ana Ruiz lives in Lima City on 2024-06-01",
+        "plain fact, no dates!",
+        "seen yesterday near the plant",
+        "from January 1, 2020 to 2021-02-03 tenure at Initech",
+    ]
+    for s in samples:
+        sql = con.execute(f"SELECT {_norm_fact('?')}", [s]).fetchone()[0]
+        assert sql == tc.normalize_fact(s), s

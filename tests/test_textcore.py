@@ -91,3 +91,35 @@ def test_contradiction_keys():
 def test_ids_deterministic():
     assert tc.entity_uuid("g1", "Priya Sharma") == tc.entity_uuid("g1", "priya  sharma")
     assert tc.entity_uuid("g1", "X") != tc.entity_uuid("g2", "X")
+
+
+def test_calendar_invalid_dates_do_not_crash():
+    # web text carries date-shaped serial numbers; a ValueError here would
+    # kill the extraction task for the whole corpus (r2 review finding)
+    ref = datetime(2025, 1, 1)
+    ts = tc.extract_triples("Priya Sharma works for Glowco on 2024-13-45.", ref)
+    assert ts and ts[0].valid_at is None and not ts[0].explicit_dates
+    assert tc.parse_dates("it happened on May 99, 2024", ref) == (None, None, False)
+    # an all-invalid from-to falls through to the remaining patterns
+    v, i, ex = tc.parse_dates(
+        "from 2024-99-99 to 2024-88-88 but until March 5, 2024", ref)
+    assert (v, i, ex) == (None, datetime(2024, 3, 5), True)
+    # a valid date elsewhere in the sentence still parses
+    v, _, ex = tc.parse_dates("x on 2024-13-45 and since 2024-02-03", ref)
+    assert (v, ex) == (datetime(2024, 2, 3), True)
+
+
+def test_overlong_entity_reference_degrades_to_literal():
+    # &#<huge>; must not raise OverflowError from chr() (r2 review finding)
+    s = '<p>x &#12345678901234567890123; y &#x10000000000000000000; z</p>'
+    assert tc.html_to_text(s) == 'x &#12345678901234567890123; y &#x10000000000000000000; z'
+
+
+def test_should_link_label_authority():
+    # caller-supplied dynamic flags (mention labels, possibly from a custom
+    # registry) take precedence over re-classifying the names
+    assert not tc.should_link("Alpha Corp", "Alpha Corp", dynamic_a=True)
+    assert tc.should_link("Outage 2024-03-05", "outage 2024 03 05",
+                          dynamic_a=False, dynamic_b=False)
+    # default fallback unchanged: built-in classifier vetoes dynamic events
+    assert not tc.should_link("Outage 2024-03-05", "Outage 2024-04-09")
