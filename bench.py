@@ -62,27 +62,43 @@ def _spark(cpus: int):
     return s
 
 
+_CORPUS_CACHE: dict[tuple, tuple] = {}  # (n_pages, richness) -> (path, gen_sec)
+
+
+def _corpus(spark, n_pages: int, richness: int) -> tuple:
+    """Generate (once per process) and cache the deterministic bench corpus;
+    repeated runs at the same size reuse the parquet instead of regenerating
+    and leaking a tmp dir per run (dirs are rmtree'd at exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kgspark.datagen import pages_spark
+
+    key = (n_pages, richness)
+    if key not in _CORPUS_CACHE:
+        tmp = tempfile.mkdtemp(prefix="kgbench_pages_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        t0 = time.time()
+        # fixed 128 write partitions regardless of session cores: the group
+        # distribution is deliberately skewed (g1 ≈ 2/3 of pages) and parquet
+        # scan splits cannot subdivide a file, so few/fat files turn the
+        # extraction stage into a handful of straggler tasks. 128 ~1MB files
+        # give every parallelism level the same balanced, finely-splittable
+        # layout — the local stand-in for a well-bucketed Iceberg table.
+        pages_spark(spark, n_pages, richness=richness, partitions=128) \
+            .write.mode("overwrite").parquet(tmp)
+        _CORPUS_CACHE[key] = (tmp, time.time() - t0)
+    return _CORPUS_CACHE[key]
+
+
 def kg_job(spark, n_pages: int, richness: int = 1) -> dict:
     """The KG-construction throughput job. Pages are materialized to parquet
     first (the input contract is an Iceberg/parquet table of pages —
     BASELINE.json input_hint); only the DAG over that table is timed."""
-    import tempfile
-
-    from kgspark.datagen import pages_spark
     from kgspark.pipeline import build_graph
 
-    tmp = tempfile.mkdtemp(prefix="kgbench_pages_")
-    t0 = time.time()
-    # fixed 128 write partitions regardless of session cores: the group
-    # distribution is deliberately skewed (g1 ≈ 2/3 of pages) and parquet
-    # scan splits cannot subdivide a file, so few/fat files turn the
-    # extraction stage into a handful of straggler tasks. 128 ~1MB files
-    # give every parallelism level the same balanced, finely-splittable
-    # layout — the local stand-in for a well-bucketed Iceberg table.
-    pages_spark(spark, n_pages, richness=richness, partitions=128) \
-        .write.mode("overwrite").parquet(tmp)
-    gen_sec = time.time() - t0
-
+    tmp, gen_sec = _corpus(spark, n_pages, richness)
     pages = spark.read.parquet(tmp)
     t0 = time.time()
     out = build_graph(pages, check_text=False, compute_embeddings=False)
@@ -164,14 +180,9 @@ def extract_job(spark, n_pages: int, richness: int = 3) -> dict:
     """Extraction-stage-only job (the compute-dominant stage at production
     scale): parquet scan -> Arrow-vectorized mention + triple extraction.
     No shuffle beyond the count aggregation."""
-    import tempfile
-
     from kgspark import udfs
-    from kgspark.datagen import pages_spark
 
-    tmp = tempfile.mkdtemp(prefix="kgbench_xpages_")
-    pages_spark(spark, n_pages, richness=richness, partitions=128) \
-        .write.mode("overwrite").parquet(tmp)
+    tmp, _ = _corpus(spark, n_pages, richness)
     pages = spark.read.parquet(tmp)
     t0 = time.time()
     n_m = udfs.extract_mentions(pages).count()

@@ -29,8 +29,11 @@ def _toks(col):
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: one row per distinct content with the
-    kept (minimum) id and the duplicate count."""
-    return (docs.withColumn("text_hash", F.md5(text_col))
+    kept (minimum) id and the duplicate count. Null-text rows are excluded:
+    md5(NULL) is NULL, which would collapse every text-less document into
+    one spurious duplicate class."""
+    return (docs.filter(F.col(text_col).isNotNull())
+            .withColumn("text_hash", F.md5(text_col))
             .groupBy("text_hash")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min(id_col).alias("keep_id")))
@@ -111,7 +114,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
             out = np.zeros(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf[text_col]):
                 acc = np.zeros(64, dtype=np.int64)
-                for tok in set(tok_re.findall(text)):
+                # null/NaN text -> empty token set -> signature 0 (one
+                # corrupt row must never kill a 10^5-task job)
+                for tok in set(tok_re.findall(text)) if isinstance(text, str) else ():
                     # little-endian first-8 md5 bytes == DuckDB's
                     # md5_number_upper, so the DuckDB oracle can recompute
                     # the signature bit-for-bit
@@ -206,13 +211,22 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 12,
     def run(batches):
         planes = None
         for pdf in batches:
+            # null-embedding rows can't be bucketed (np.stack would die on
+            # None); they drop out of the blocking stage entirely
+            pdf = pdf[pdf[emb_col].notna()]
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[emb_col].to_numpy())
             if planes is None:
                 planes = _hyperplanes(m.shape[1], n_planes)
             signs = (m @ planes.T) > 0
-            buckets = ["".join("1" if s else "0" for s in row) for row in signs]
+            # 'b' prefix keeps the partition value a STRING on read-back:
+            # an all-digit bucket would hit Spark's partition-column type
+            # inference (bigint), and bigint-vs-string probe comparison
+            # coerces to double — silently collapsing distinct buckets once
+            # n_planes digits exceed 2^53 (n_planes >= 17)
+            buckets = ["b" + "".join("1" if s else "0" for s in row)
+                       for row in signs]
             yield pd.DataFrame({"id": pdf[id_col], "bucket": buckets})
 
     return emb.select(id_col, emb_col).mapInPandas(run, HYPERPLANE_DDL)
@@ -228,7 +242,7 @@ def ann_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
     buckets = hyperplane_buckets(emb, n_planes, id_col, emb_col)
     qv = np.asarray(query_vec, dtype=np.float64)
     planes = _hyperplanes(len(query_vec), n_planes)
-    qb = "".join("1" if s else "0" for s in (planes @ qv) > 0)
+    qb = "b" + "".join("1" if s else "0" for s in (planes @ qv) > 0)
     cand = (buckets
             .withColumn("qh", F.lit(qb))
             .withColumn(
@@ -238,8 +252,9 @@ def ann_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
                                lambda a, b: a != b),
                     lambda x: x)))
             .filter(F.col("ham") <= probe_hamming)
-            .select("id"))
-    sub = emb.join(cand, F.col(id_col) == cand["id"]).drop("id")
+            .select(F.col("id").alias("__cand_id")))
+    # left_semi keeps only emb's columns — no ambiguity when id_col == 'id'
+    sub = emb.join(cand, F.col(id_col) == F.col("__cand_id"), "left_semi")
     return ann_bruteforce(sub, query_vec, k, id_col, emb_col)
 
 
@@ -278,7 +293,7 @@ def ann_query_indexed(spark, path: str, query_vec: list[float], k: int = 10,
             bits = list(qbits)
             for f in flips:
                 bits[f] ^= 1
-            probes.append("".join(map(str, bits)))
+            probes.append("b" + "".join(map(str, bits)))
     idx = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return ann_bruteforce(idx, query_vec, k, id_col, emb_col)
 
@@ -425,7 +440,8 @@ def embedding_neardups(emb: DataFrame, threshold: float = 0.95,
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("bi"),
-                     F.substring("bucket", i * width + 1, width).alias("sub"))
+                     # +2: skip the 'b' string-guard prefix, then 1-indexed
+                     F.substring("bucket", i * width + 2, width).alias("sub"))
             for i in range(n_bands)])).alias("b")
     ).select("id", F.col("b.bi").alias("bi"), F.col("b.sub").alias("sub"))
     sizes = melted.groupBy("bi", "sub").agg(F.count(F.lit(1)).alias("bc"))

@@ -113,7 +113,11 @@ def run_resumable(spark: SparkSession, pages: DataFrame, base: str,
     done = completed_groups(base)
     todo = [g for g in all_groups if g not in done]
     batch_id = uuidlib.uuid4().hex[:12]
-    summary = {"groups_total": len(all_groups), "groups_skipped": len(done),
+    # skipped = this input's groups already done, NOT the full manifest size
+    # (an incremental caller passes a subset of groups while the manifest
+    # holds every group ever completed)
+    summary = {"groups_total": len(all_groups),
+               "groups_skipped": len(all_groups) - len(todo),
                "groups_processed": 0, "batch_id": batch_id}
     for i in range(0, len(todo), groups_per_batch):
         batch = todo[i: i + groups_per_batch]
@@ -163,15 +167,34 @@ def merge_upsert(spark: SparkSession, base: str, table: str, df: DataFrame,
     On an Iceberg catalog this is a single MERGE INTO; the parquet fallback
     materializes the merged partitions (localCheckpoint) before overwrite
     because parquet cannot read and overwrite the same path lazily.
-    Returns the number of rows written."""
+    Returns the number of rows written.
+
+    A key whose group_id CHANGED in ``df`` must not leave a stale
+    duplicate behind in its old partition, so the key set is probed
+    against the whole table (column-pruned scan of key_cols + group_id —
+    the parquet stand-in for Iceberg MERGE's file-level key pruning) and
+    any partition holding a stale match joins the rewrite set. Rewritten
+    partitions are deleted first: dynamic overwrite only replaces
+    partitions present in the output, and a stale partition whose every
+    row matched an incoming key would otherwise survive untouched."""
+    import shutil
+    from urllib.parse import unquote
+
     path = Path(base) / table
-    groups = [r["group_id"] for r in df.select("group_id").distinct().collect()]
+    groups = {r["group_id"] for r in df.select("group_id").distinct().collect()}
     if path.exists():
-        existing = (spark.read.parquet(str(path))
-                    .filter(F.col("group_id").isin(groups)))
-        keep = existing.join(df.select(*key_cols).distinct(),
-                             list(key_cols), "left_anti")
+        full = spark.read.parquet(str(path))
+        keys = df.select(*key_cols).distinct()
+        stale_groups = {r["group_id"] for r in
+                        full.join(keys, list(key_cols), "left_semi")
+                            .select("group_id").distinct().collect()}
+        groups |= stale_groups
+        existing = full.filter(F.col("group_id").isin(sorted(groups)))
+        keep = existing.join(keys, list(key_cols), "left_anti")
         out = keep.unionByName(df).localCheckpoint()
+        for d in path.glob("group_id=*"):
+            if unquote(d.name.split("=", 1)[1]) in groups:
+                shutil.rmtree(d)
     else:
         out = df
     (out.write.mode("overwrite")

@@ -66,9 +66,12 @@ def remove_episode(tables: dict[str, DataFrame],
 
 def delete_group(tables: dict[str, DataFrame], group_id: str) -> dict[str, DataFrame]:
     """Drop every row of a graph partition (Node.delete_by_group_id,
-    nodes.py:113-124; with Iceberg this is a metadata-only partition drop)."""
-    return {k: v.filter(F.col("group_id") != group_id) for k, v in tables.items()
-            if "group_id" in v.columns}
+    nodes.py:113-124; with Iceberg this is a metadata-only partition drop).
+    Tables without a group_id column (e.g. alias_map) pass through
+    unchanged rather than vanishing from the returned dict."""
+    return {k: v.filter(F.col("group_id") != group_id)
+            if "group_id" in v.columns else v
+            for k, v in tables.items()}
 
 
 def clear_data(spark, base: str | None = None) -> None:

@@ -62,9 +62,16 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
             rec = kio._lineage_dir(base) / f"group={g}.json"
             if rec.exists():
                 rec.unlink()
+        # deterministic re-crawl pick: latest warc_ts per url, content-hash
+        # tie-break (dropDuplicates keeps an arbitrary row, so a re-crawled
+        # url would nondeterministically rebuild from the stale crawl)
+        from pyspark.sql import Window
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.desc(F.md5(F.col("text"))))
         all_pages = (spark.read.parquet(bronze)
                      .filter(F.col("group_id").isin(dirty))
-                     .dropDuplicates(["url"]))
+                     .withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") == 1).drop("__rn"))
         kio.run_resumable(spark, all_pages, base, compute_embeddings=False)
 
     return (read_pages_stream(spark, input_dir)

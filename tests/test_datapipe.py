@@ -255,3 +255,48 @@ def test_corpus_dedup_strategies_agree(spark, docs):
     b = {(r["doc_id"], r["canonical_id"])
          for r in dp.corpus_dedup(docs, strategy="iterative").collect()}
     assert a == b and len(a) == docs.count()
+
+
+def test_null_rows_do_not_crash_or_collapse(spark):
+    # one corrupt row must never kill the job or fabricate dup classes
+    import pandas as pd
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["same text", "same text", None, None]}),
+        "doc_id long, text string")
+    classes = dp.exact_dedup(docs).collect()
+    assert len(classes) == 1 and classes[0]["n_docs"] == 2  # nulls excluded
+    sims = {r["id"]: r["simhash"] for r in dp.simhash(docs).collect()}
+    assert sims[1] == sims[2] and sims[3] == 0  # null text -> signature 0
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0, 0.0], None]}),
+        "vec_id long, embedding array<double>")
+    buckets = dp.hyperplane_buckets(emb, n_planes=4).collect()
+    assert [b["id"] for b in buckets] == [1]  # null embedding dropped
+
+
+def test_ann_lsh_id_col_named_id(spark, emb):
+    # id_col == 'id' used to hit AMBIGUOUS_REFERENCE in the candidate join
+    renamed = emb.withColumnRenamed("vec_id", "id")
+    qv = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    out = dp.ann_lsh(renamed.filter("id <> 0"), list(qv), k=5,
+                     probe_hamming=12, id_col="id")
+    assert out.count() == 5
+
+
+def test_ann_index_bucket_column_stays_string(spark, emb, tmp_path):
+    # the 'b' prefix defeats partition-column type inference: an all-digit
+    # bucket read back as bigint collapses distinct buckets past 2^53
+    # (n_planes >= 17)
+    path = str(tmp_path / "annidx17")
+    rest = emb.filter("vec_id <> 0")
+    dp.build_ann_index(rest, path, n_planes=17)
+    idx = spark.read.parquet(path)
+    assert dict(idx.dtypes)["bucket"] == "string"
+    qv = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    exact = [r["id"] for r in dp.ann_bruteforce(rest, list(qv), 5).collect()]
+    full = [r["id"] for r in
+            dp.ann_query_indexed(spark, path, list(qv), k=5, n_planes=17,
+                                 probe_hamming=17).collect()]
+    # full-probe width == exact brute force, now correct at 17 planes
+    assert full == exact

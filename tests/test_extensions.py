@@ -344,3 +344,32 @@ def test_add_triplets_sql_norm_fact_parity():
     for s in samples:
         sql = con.execute(f"SELECT {_norm_fact('?')}", [s]).fetchone()[0]
         assert sql == tc.normalize_fact(s), s
+
+
+def test_merge_upsert_group_move_purges_stale_row(spark, tmp_path):
+    # a key whose group_id changed must not leave a stale duplicate behind
+    # in its old partition (r2 review finding)
+    base = str(tmp_path / "store")
+    df1 = spark.createDataFrame(pd.DataFrame(
+        [("u1", "g1", "old"), ("u2", "g1", "keep")],
+        columns=["uuid", "group_id", "payload"]))
+    io.merge_upsert(spark, base, "nodes", df1)
+    df2 = spark.createDataFrame(pd.DataFrame(
+        [("u1", "g2", "moved")], columns=["uuid", "group_id", "payload"]))
+    io.merge_upsert(spark, base, "nodes", df2)
+    rows = io.read_table(spark, base, "nodes").collect()
+    got = {(r["uuid"], r["group_id"]): r["payload"] for r in rows}
+    assert got == {("u1", "g2"): "moved", ("u2", "g1"): "keep"}
+    assert len(rows) == 2  # no stale (u1, g1) duplicate
+
+
+def test_delete_group_passes_through_tables_without_group_id(spark):
+    from kgspark import maintenance
+    withg = spark.createDataFrame(pd.DataFrame(
+        [("a", "g1"), ("b", "g2")], columns=["uuid", "group_id"]))
+    nog = spark.createDataFrame(pd.DataFrame(
+        [("a", "c")], columns=["uuid", "canonical_uuid"]))
+    out = maintenance.delete_group({"nodes": withg, "alias_map": nog}, "g1")
+    assert set(out) == {"nodes", "alias_map"}
+    assert [r["uuid"] for r in out["nodes"].collect()] == ["b"]
+    assert out["alias_map"].count() == 1

@@ -51,3 +51,22 @@ def test_resume_equals_single_shot(spark, tmp_path):
             for p in (Path(base) / "_lineage").glob("group=*.json")]
     assert {r["group_id"] for r in recs} == set(groups)
     assert all(r["counts"]["edges"] >= 0 and "seconds" in r for r in recs)
+
+
+def test_resume_skipped_metric_counts_this_inputs_groups(spark, tmp_path):
+    # groups_skipped reflects THIS input's already-done groups, not the
+    # whole lineage manifest (r2 review finding)
+    import pandas as pd
+    from kgspark.datagen import pages_pandas
+
+    base = str(tmp_path / "graph")
+    pdf = pages_pandas(60)
+    pages = spark.createDataFrame(pdf)
+    s1 = kio.run_resumable(spark, pages, base, compute_embeddings=False)
+    assert s1["groups_skipped"] == 0
+    one_group = sorted(pdf["group_id"].unique())[0]
+    sub = spark.createDataFrame(pdf[pdf["group_id"] == one_group])
+    s2 = kio.run_resumable(spark, sub, base, compute_embeddings=False)
+    assert s2["groups_total"] == 1
+    assert s2["groups_skipped"] == 1      # this input's only group was done
+    assert s2["groups_processed"] == 0

@@ -104,3 +104,30 @@ def test_sessionize_streaming_twin(spark, tmp_path):
     batch = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
              for r in streaming.sessionize(df).collect()}
     assert got and all(batch[k] == v for k, v in got.items())
+
+
+def test_recrawl_picks_latest_deterministically(spark, tmp_path):
+    # a re-crawled url (same url, newer warc_ts, updated text) must rebuild
+    # the graph from the NEWEST crawl, not an arbitrary bronze row
+    from datetime import datetime
+    import pandas as pd
+
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    old = pd.DataFrame([{
+        "url": "http://x", "group_id": "g", "warc_ts": datetime(2024, 1, 1),
+        "html": b"<p>Priya Sharma works for Initech.</p>",
+        "text": "Priya Sharma works for Initech.", "lang": "en"}])
+    new = old.copy()
+    new.loc[0, "warc_ts"] = datetime(2024, 2, 1)
+    new.loc[0, "html"] = b"<p>Priya Sharma works for Glowco.</p>"
+    new.loc[0, "text"] = "Priya Sharma works for Glowco."
+    schema = ("url string, group_id string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    spark.createDataFrame(old, schema).write.parquet(str(inp / "b0"))
+    spark.createDataFrame(new, schema).write.parquet(str(inp / "b1"))
+    base = str(tmp_path / "graph")
+    q = streaming.incremental_ingest(spark, str(inp) + "/*", base)
+    q.awaitTermination(300)
+    facts = [r["fact"] for r in kio.read_table(spark, base, "edges").collect()]
+    assert facts == ["Priya Sharma works for Glowco."]

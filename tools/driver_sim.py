@@ -48,7 +48,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
                 bad = (ca - cb).abs().idxmax()
                 return f"VALUE MISMATCH col={c} row={bad} {ca[bad]} != {cb[bad]}"
         else:
-            eq = (ca.astype(str).fillna("<null>") == cb.astype(str).fillna("<null>"))
+            # nulls FIRST: astype(str) stringifies missing values
+            # engine-specifically (None->'None', nan->'nan', NaT->'NaT'),
+            # so fillna after it was dead and Spark-vs-DuckDB null
+            # representations could false-fail the compare
+            ca = ca.astype(object).where(ca.notna(), "<null>").astype(str)
+            cb = cb.astype(object).where(cb.notna(), "<null>").astype(str)
+            eq = (ca == cb)
             if not eq.all():
                 i = eq.idxmin()
                 return f"VALUE MISMATCH col={c} row={i} {ca[i]!r} != {cb[i]!r}"
