@@ -125,16 +125,31 @@ def run_default() -> None:
                 "token_stats", "corpus_dedup", "sessionization"]
     times: dict[str, float] = {}
     total0 = time.time()
+    tick0, steal0 = _cpu_ticks()
     # kg first, after a small warmup: measured in a quiet session instead
-    # of inheriting 13 queries' worth of GC/cached-block pollution
+    # of inheriting 13 queries' worth of GC/cached-block pollution.
+    # Best-of-2 everywhere below: this sandbox VM has bursty co-tenant
+    # interference (identical runs measured varying 22s..95s within minutes,
+    # documented in BENCH/BASELINE.md §1) — a single-shot number is as
+    # likely to measure the neighbors as the engine. The recorded steal%%
+    # makes a contaminated window visible in the output itself.
     kg_job(spark, 3000)
-    kg = kg_job(spark, KG_BENCH_PAGES)
+    kg_runs = [kg_job(spark, KG_BENCH_PAGES) for _ in range(2)]
+    kg = min(kg_runs, key=lambda r: r["sec"])
+    kg["runs_sec"] = [r["sec"] for r in kg_runs]
     times["kg_build"] = kg["sec"]
-    for name in headline:
+
+    def timed(name: str) -> float:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    for name in headline:
+        # run 1 doubles as the warmup (codegen + scan caches); min() reports
+        # the steady-state run unless the second window is the noisy one
+        times[name] = min(timed(name), timed(name))
     total = round(time.time() - total0, 2)
+    tick1, steal1 = _cpu_ticks()
     print(json.dumps({
         "metric": "kg_construct_bench_total",
         "value": total,
@@ -143,6 +158,8 @@ def run_default() -> None:
         "sf": sf,
         "cpus": cpus,
         "kg": kg,
+        "per_query": "best-of-2 (steady-state)",
+        "steal_pct": round(100 * (steal1 - steal0) / max(tick1 - tick0, 1), 2),
     }))
 
 
