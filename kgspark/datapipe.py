@@ -718,6 +718,11 @@ def _pnm_decode(b: bytes) -> dict:
     w, h, maxval = (int(t) for t in toks)
     if maxval > 255:
         raise ValueError("16-bit PNM unsupported")
+    # the spec's "single whitespace after maxval" is \r\n in CRLF-written
+    # files: treat the pair as one separator, otherwise the raster is
+    # mis-offset by one byte and decodes to silently wrong channel means
+    if b[2 + off - 1:2 + off] == b"\r" and b[2 + off:2 + off + 1] == b"\n":
+        off += 1
     raster = b[2 + off:2 + off + w * h * nch]
     if len(raster) < w * h * nch:
         raise ValueError("truncated raster")

@@ -52,6 +52,22 @@ def completed_groups(base: str) -> set[str]:
     return out
 
 
+def _delete_group_partitions(table_dir: Path, groups: set[str]) -> None:
+    """Delete the Hive-style partition dirs of ``groups`` under
+    ``table_dir``. Partition names are matched by DECODING Spark's
+    %XX escaping (a group id with ':' or '/' lands on disk escaped),
+    not by re-building the raw name — the ONE place that knows the
+    on-disk partition naming, shared by both write paths."""
+    import shutil
+    from urllib.parse import unquote
+
+    if not table_dir.exists():
+        return
+    for d in table_dir.glob("group_id=*"):
+        if unquote(d.name.split("=", 1)[1]) in groups:
+            shutil.rmtree(d)
+
+
 def write_tables(out: dict[str, DataFrame], base: str,
                  groups: list[str] | None = None) -> dict[str, int]:
     """Write each output table partitioned by group_id (dynamic overwrite:
@@ -67,19 +83,13 @@ def write_tables(out: dict[str, DataFrame], base: str,
     ':' or '/' lands on disk escaped), not by re-building the raw name.
     This delete-then-dynamic-overwrite is the local-parquet stand-in for
     Iceberg's atomic REPLACE WHERE / MERGE on a real catalog."""
-    import shutil
-    from urllib.parse import unquote
-
     counts = {}
     gset = set(groups or [])
     for t in TABLES:
         if t not in out:
             continue
-        tdir = Path(base) / t
-        if gset and tdir.exists():
-            for d in tdir.glob("group_id=*"):
-                if unquote(d.name.split("=", 1)[1]) in gset:
-                    shutil.rmtree(d)
+        if gset:
+            _delete_group_partitions(Path(base) / t, gset)
         df = out[t]
         (df.write.mode("overwrite")
            .option("partitionOverwriteMode", "dynamic")
@@ -164,21 +174,21 @@ def merge_upsert(spark: SparkSession, base: str, table: str, df: DataFrame,
     overwrite) — the right tool for small incremental updates into huge
     partitioned tables, where whole-partition recompute is not.
 
-    On an Iceberg catalog this is a single MERGE INTO; the parquet fallback
-    materializes the merged partitions (localCheckpoint) before overwrite
-    because parquet cannot read and overwrite the same path lazily.
-    Returns the number of rows written.
+    On an Iceberg catalog this is a single MERGE INTO; the parquet
+    fallback STAGES the merged partitions to a sibling temp dir first,
+    then swaps each touched partition in (delete old dir + rename staged
+    dir). A crash during the merge computation or write leaves the table
+    untouched; a crash mid-swap leaves every remaining merged partition
+    on disk in the staging dir (never the pre-fix all-deletes-then-write
+    window, where a kill between rmtree and write lost the old rows with
+    nothing recorded). Returns the number of rows written.
 
     A key whose group_id CHANGED in ``df`` must not leave a stale
     duplicate behind in its old partition, so the key set is probed
     against the whole table (column-pruned scan of key_cols + group_id —
     the parquet stand-in for Iceberg MERGE's file-level key pruning) and
-    any partition holding a stale match joins the rewrite set. Rewritten
-    partitions are deleted first: dynamic overwrite only replaces
-    partitions present in the output, and a stale partition whose every
-    row matched an incoming key would otherwise survive untouched."""
+    any partition holding a stale match joins the rewrite set."""
     import shutil
-    from urllib.parse import unquote
 
     path = Path(base) / table
     groups = {r["group_id"] for r in df.select("group_id").distinct().collect()}
@@ -191,14 +201,26 @@ def merge_upsert(spark: SparkSession, base: str, table: str, df: DataFrame,
         groups |= stale_groups
         existing = full.filter(F.col("group_id").isin(sorted(groups)))
         keep = existing.join(keys, list(key_cols), "left_anti")
-        out = keep.unionByName(df).localCheckpoint()
-        for d in path.glob("group_id=*"):
-            if unquote(d.name.split("=", 1)[1]) in groups:
-                shutil.rmtree(d)
+        out = keep.unionByName(df)
     else:
         out = df
+    staging = Path(base) / f".{table}.merge.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    # the staged write reads the live table lazily (different dirs), so no
+    # checkpoint materialization is needed
     (out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("group_id")
-        .parquet(str(path)))
-    return out.count()
+        .parquet(str(staging)))
+    try:
+        n = spark.read.parquet(str(staging)).count()
+    except Exception:
+        n = 0  # merged result empty for every partition: nothing staged
+    # swap: per touched group, delete old then rename staged (rename is
+    # atomic per partition dir; a group whose merged result is empty has
+    # no staged dir — the delete alone is the correct outcome)
+    _delete_group_partitions(path, groups)
+    path.mkdir(parents=True, exist_ok=True)
+    for d in staging.glob("group_id=*"):
+        d.rename(path / d.name)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n

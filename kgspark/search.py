@@ -41,7 +41,10 @@ from kgspark.fulltext import (  # noqa: E402  (re-exported operator surface)
 
 def fulltext_search(df: DataFrame, text_col: str, query: str,
                     limit: int = 20, group_ids: list[str] | None = None) -> DataFrame:
-    terms = [t for t in query.lower().split() if t][:32]
+    # the ONE shared query tokenizer (kgspark/fulltext.py): a bare
+    # whitespace split would keep punctuation ('works-for', 'glowco.')
+    # that can never equal an alnum corpus token from tokens_col
+    terms = fulltext_terms(query)
     if group_ids:
         df = df.filter(F.col("group_id").isin(group_ids))
     if not terms:  # same empty-query guard as bm25_search (schema-preserving)

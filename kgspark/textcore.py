@@ -340,10 +340,16 @@ def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datet
             inv = _parse_date_token(m.group(2))
             if v is not None or inv is not None:
                 return v, inv, True
-        m = _SINCE_RE.search(sentence) or _ON_RE.search(sentence)
-        if m:
-            valid = _parse_date_token(m.group(1))
-            explicit = valid is not None
+        # try 'since' then 'on' — a since-match whose token is
+        # calendar-invalid must not shadow a parseable on-date (same
+        # fall-through rule as the from-to branch above)
+        for rx in (_SINCE_RE, _ON_RE):
+            m = rx.search(sentence)
+            if m:
+                valid = _parse_date_token(m.group(1))
+                if valid is not None:
+                    explicit = True
+                    break
         m = _UNTIL_RE.search(sentence)
         if m:
             invalid = _parse_date_token(m.group(1))

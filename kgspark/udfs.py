@@ -225,7 +225,7 @@ BANDS_DDL = "group_id string, norm_name string, band_key string"
 
 
 def embed_entities(entities: DataFrame) -> DataFrame:
-    """(group_id, norm_name, name) -> name_embedding array<float> (dim 1024)."""
+    """(group_id, norm_name, name) -> name_embedding array<double> (dim 1024)."""
 
     def run(batches):
         for pdf in batches:

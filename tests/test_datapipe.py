@@ -220,8 +220,13 @@ def test_image_decode_pnm(spark):
     p5 = b"P5\n2 2\n255\n" + bytes([0, 100, 100, 200])
     png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
     trunc = b"P6\n4 4\n255\n" + b"\x00" * 5
+    # CRLF-written header: \r\n after maxval is ONE separator, not a \r
+    # separator followed by a raster starting at \n (which silently
+    # rotates the channels by one byte)
+    crlf = b"P6\r\n2 1\r\n255\r\n" + bytes([10, 20, 30]) * 2
     df = spark.createDataFrame(
-        [(1, p6), (2, p5), (3, png), (4, trunc)], "id long, blob binary")
+        [(1, p6), (2, p5), (3, png), (4, trunc), (5, crlf)],
+        "id long, blob binary")
     got = {r["id"]: r for r in dp.decode_images(df, "id", "blob").collect()}
     assert (got[1]["width"], got[1]["height"]) == (3, 2)
     assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (10.0, 20.0, 30.0)
@@ -229,6 +234,8 @@ def test_image_decode_pnm(spark):
     assert got[2]["mean_r"] == got[2]["mean_g"] == got[2]["mean_b"]
     assert got[3]["decode_status"] in ("unsupported", "ok")  # PIL-gated
     assert got[4]["decode_status"].startswith("error")
+    assert got[5]["decode_status"] == "ok"
+    assert (got[5]["mean_r"], got[5]["mean_g"], got[5]["mean_b"]) == (10.0, 20.0, 30.0)
 
 
 def test_corpus_dedup_clusters(spark):

@@ -59,6 +59,15 @@ def test_date_parse_explicit_and_span():
     assert v == datetime(2024, 1, 1) and i == datetime(2024, 1, 31) and ex
 
 
+def test_date_invalid_since_does_not_shadow_on():
+    # a calendar-invalid 'since' token must fall through to a parseable
+    # 'on' date (same rule as the from-to branch)
+    ref = datetime(2024, 3, 5, 12)
+    v, i, ex = tc.parse_dates(
+        "x works for y since 2024-99-99 on March 5, 2024", ref)
+    assert (v, i, ex) == (datetime(2024, 3, 5), None, True)
+
+
 def test_date_parse_relative_vs_reference():
     # relative → absolute against reference ts (extract_edge_dates rule 2)
     ref = datetime(2024, 3, 5, 12)
