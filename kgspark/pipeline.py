@@ -113,7 +113,12 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     # LAZY checkpoint (eager=False): no extra job/barrier on a single-action
     # build, but the 4 downstream consumers (alias_map, nodes, mentions,
     # triples) reuse the materialized mapping across separate write/count
-    # jobs instead of re-running the pair join + union-find per table
+    # jobs instead of re-running the pair join + union-find per table.
+    # NOTE on join planning: the checkpoint's Scan ExistingRDD defaults to
+    # a huge STATIC size estimate, so pointer joins plan as SortMergeJoin
+    # pre-execution — AQE converts them to BroadcastHashJoin at runtime
+    # from the observed shuffle sizes (asserted on the EXECUTED plan by
+    # tools/explain_check.py; a static-plan assertion would false-fail).
     mapping = cc.connected_components(alias_pairs) \
         .localCheckpoint(eager=False)  # ext_uuid -> canonical
     out["alias_map"] = mapping

@@ -69,11 +69,18 @@ def main() -> None:
     edges = out["edges"]
     p = plan_of(edges)
     check("edge pipeline has no CartesianProduct", "CartesianProduct" not in p, p)
-    # run it so AQE finalizes, then inspect the executed plan
-    edges.write.format("noop").mode("overwrite").save()
-    pf = plan_of(edges, "simple")
-    check("alias-map join broadcastable (AQE)",
-          "BroadcastHashJoin" in p or "BroadcastHashJoin" in pf, pf)
+    # The alias map sits behind a localCheckpoint whose Scan ExistingRDD
+    # defaults to a huge STATIC size estimate, so the pointer join plans
+    # as SortMergeJoin pre-execution by design; AQE converts it to
+    # BroadcastHashJoin at runtime from observed shuffle sizes. Assert on
+    # the EXECUTED plan of the DataFrame's own QueryExecution (a noop
+    # write runs a *separate* QE and plan_of() would re-plan, false-
+    # failing the check).
+    mentions = out["mentions"]
+    mentions.collect()
+    pf = plan_of(mentions, "simple")
+    check("alias-map pointer join broadcast (AQE, executed plan)",
+          "isFinalPlan=true" in pf and "BroadcastHashJoin" in pf, pf)
 
     # 6. sessionization: native session_window agg = ONE exchange on the
     # key, partial merge before it (no sort-based session reconstruction)
