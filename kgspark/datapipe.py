@@ -720,9 +720,16 @@ def _pnm_decode(b: bytes) -> dict:
         raise ValueError("16-bit PNM unsupported")
     # the spec's "single whitespace after maxval" is \r\n in CRLF-written
     # files: treat the pair as one separator, otherwise the raster is
-    # mis-offset by one byte and decodes to silently wrong channel means
+    # mis-offset by one byte and decodes to silently wrong channel means.
+    # Ambiguity (r2 ADVICE): a CR-only-separated file whose first raster
+    # byte is 0x0A is indistinguishable from a CRLF header byte-wise, so
+    # the shift is applied ONLY when the remaining length pins it — after
+    # the shift exactly w*h*nch bytes remain (a CR-only file would then be
+    # one byte short and must NOT be shifted). Files with trailing padding
+    # keep the CRLF interpretation (the overwhelmingly common writer).
     if b[2 + off - 1:2 + off] == b"\r" and b[2 + off:2 + off + 1] == b"\n":
-        off += 1
+        if len(b) - (2 + off + 1) >= w * h * nch:
+            off += 1
     raster = b[2 + off:2 + off + w * h * nch]
     if len(raster) < w * h * nch:
         raise ValueError("truncated raster")

@@ -52,19 +52,33 @@ def completed_groups(base: str) -> set[str]:
     return out
 
 
-def _delete_group_partitions(table_dir: Path, groups: set[str]) -> None:
+# Spark/Hive write a null partition value under this sentinel dir name.
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_raw(dir_name: str) -> str | None:
+    """Decode a Hive-style partition dir name back to the raw group id
+    (None for the null-partition sentinel)."""
+    from urllib.parse import unquote
+
+    raw = unquote(dir_name.split("=", 1)[1])
+    return None if raw == _NULL_PART else raw
+
+
+def _delete_group_partitions(table_dir: Path, groups: set[str | None]) -> None:
     """Delete the Hive-style partition dirs of ``groups`` under
     ``table_dir``. Partition names are matched by DECODING Spark's
     %XX escaping (a group id with ':' or '/' lands on disk escaped),
     not by re-building the raw name — the ONE place that knows the
-    on-disk partition naming, shared by both write paths."""
+    on-disk partition naming, shared by both write paths. A ``None``
+    in ``groups`` matches the __HIVE_DEFAULT_PARTITION__ dir Spark
+    writes for null group_id."""
     import shutil
-    from urllib.parse import unquote
 
     if not table_dir.exists():
         return
     for d in table_dir.glob("group_id=*"):
-        if unquote(d.name.split("=", 1)[1]) in groups:
+        if _part_raw(d.name) in groups:
             shutil.rmtree(d)
 
 
@@ -164,6 +178,35 @@ def read_table(spark: SparkSession, base: str, table: str) -> DataFrame:
     return spark.read.parquet(str(Path(base) / table))
 
 
+def _swap_marker(base: str, table: str) -> Path:
+    return Path(base) / f".{table}.merge.SWAP"
+
+
+def _finish_swap(path: Path, staging: Path, marker: Path) -> None:
+    """Complete a (possibly interrupted) staged-partition swap described
+    by the ``marker`` journal. Idempotent: per staged dir, delete the
+    same-named table dir (the old partition — if the staged dir still
+    exists, its rename has not happened yet) and rename the staged dir
+    in; for groups whose merged result was EMPTY, delete the old table
+    dir. Re-running after a crash at ANY point re-reaches the same end
+    state, because each group's outcome is recorded in the journal, not
+    inferred from which dirs happen to survive."""
+    import shutil
+
+    rec = json.loads(marker.read_text())
+    _delete_group_partitions(path, set(rec["empty_groups"]))
+    path.mkdir(parents=True, exist_ok=True)
+    for name in rec["staged_dirs"]:
+        d = staging / name
+        if d.exists():
+            tgt = path / name
+            if tgt.exists():
+                shutil.rmtree(tgt)
+            d.rename(tgt)
+    shutil.rmtree(staging, ignore_errors=True)
+    marker.unlink()
+
+
 def merge_upsert(spark: SparkSession, base: str, table: str, df: DataFrame,
                  key_cols: tuple[str, ...] = ("uuid",)) -> int:
     """Row-level MERGE upsert (UNWIND-MERGE bulk-save analog,
@@ -176,21 +219,33 @@ def merge_upsert(spark: SparkSession, base: str, table: str, df: DataFrame,
 
     On an Iceberg catalog this is a single MERGE INTO; the parquet
     fallback STAGES the merged partitions to a sibling temp dir first,
-    then swaps each touched partition in (delete old dir + rename staged
-    dir). A crash during the merge computation or write leaves the table
-    untouched; a crash mid-swap leaves every remaining merged partition
-    on disk in the staging dir (never the pre-fix all-deletes-then-write
-    window, where a kill between rmtree and write lost the old rows with
-    nothing recorded). Returns the number of rows written.
+    writes a SWAP journal recording every touched group's outcome
+    (staged dir name, or empty-result), then swaps each touched
+    partition in (delete old dir + rename staged dir). Crash recovery:
+    on entry, a surviving journal means a prior merge died mid-swap —
+    the swap is FINISHED from the journal before anything else touches
+    the table (re-running merge_upsert is the recovery action); a
+    staging dir WITHOUT a journal means the prior run died before its
+    swap began, so the table is untouched and the stale staging is
+    discarded. Returns the number of rows written.
 
     A key whose group_id CHANGED in ``df`` must not leave a stale
     duplicate behind in its old partition, so the key set is probed
     against the whole table (column-pruned scan of key_cols + group_id —
     the parquet stand-in for Iceberg MERGE's file-level key pruning) and
-    any partition holding a stale match joins the rewrite set."""
+    any partition holding a stale match joins the rewrite set. Null
+    group_id rows land in the __HIVE_DEFAULT_PARTITION__ dir and are
+    matched/swapped like any other partition."""
     import shutil
 
     path = Path(base) / table
+    staging = Path(base) / f".{table}.merge.staging"
+    marker = _swap_marker(base, table)
+    if marker.exists():
+        # a prior merge died mid-swap: finish it before reading the table
+        _finish_swap(path, staging, marker)
+    shutil.rmtree(staging, ignore_errors=True)  # pre-swap crash leftovers
+
     groups = {r["group_id"] for r in df.select("group_id").distinct().collect()}
     if path.exists():
         full = spark.read.parquet(str(path))
@@ -199,28 +254,34 @@ def merge_upsert(spark: SparkSession, base: str, table: str, df: DataFrame,
                         full.join(keys, list(key_cols), "left_semi")
                             .select("group_id").distinct().collect()}
         groups |= stale_groups
-        existing = full.filter(F.col("group_id").isin(sorted(groups)))
+        # isin never matches NULL — a null group needs an explicit isNull
+        gl = sorted(g for g in groups if g is not None)
+        cond = F.col("group_id").isin(gl)
+        if None in groups:
+            cond = cond | F.col("group_id").isNull()
+        existing = full.filter(cond)
         keep = existing.join(keys, list(key_cols), "left_anti")
         out = keep.unionByName(df)
     else:
         out = df
-    staging = Path(base) / f".{table}.merge.staging"
-    shutil.rmtree(staging, ignore_errors=True)
     # the staged write reads the live table lazily (different dirs), so no
     # checkpoint materialization is needed
     (out.write.mode("overwrite")
         .partitionBy("group_id")
         .parquet(str(staging)))
-    try:
-        n = spark.read.parquet(str(staging)).count()
-    except Exception:
-        n = 0  # merged result empty for every partition: nothing staged
-    # swap: per touched group, delete old then rename staged (rename is
-    # atomic per partition dir; a group whose merged result is empty has
-    # no staged dir — the delete alone is the correct outcome)
-    _delete_group_partitions(path, groups)
-    path.mkdir(parents=True, exist_ok=True)
-    for d in staging.glob("group_id=*"):
-        d.rename(path / d.name)
-    shutil.rmtree(staging, ignore_errors=True)
+    staged_dirs = sorted(d.name for d in staging.glob("group_id=*"))
+    # emptiness is detected structurally (no staged partition dirs), not by
+    # catching a read failure — a genuine read error must surface
+    n = (spark.read.parquet(str(staging)).count()) if staged_dirs else 0
+    staged_raw = {_part_raw(name) for name in staged_dirs}
+    empty_groups = sorted((g for g in groups - staged_raw),
+                          key=lambda g: (g is None, g or ""))
+    # journal first (atomic publish), then swap — _finish_swap is the ONLY
+    # code path that mutates the live table, for normal and recovery runs
+    tmp = marker.with_suffix(".tmp")
+    tmp.parent.mkdir(parents=True, exist_ok=True)
+    tmp.write_text(json.dumps({"staged_dirs": staged_dirs,
+                               "empty_groups": empty_groups}))
+    tmp.rename(marker)
+    _finish_swap(path, staging, marker)
     return n

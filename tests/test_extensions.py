@@ -373,3 +373,67 @@ def test_delete_group_passes_through_tables_without_group_id(spark):
     assert set(out) == {"nodes", "alias_map"}
     assert [r["uuid"] for r in out["nodes"].collect()] == ["b"]
     assert out["alias_map"].count() == 1
+
+
+def test_merge_upsert_recovers_interrupted_swap(spark, tmp_path):
+    # r2 ADVICE (medium): a crash mid-swap leaves merged partitions in the
+    # staging dir + a SWAP journal; re-running merge_upsert must FINISH the
+    # interrupted swap (not rmtree the staging and recompute from a table
+    # whose touched partitions were already deleted, losing the kept rows).
+    import json
+    import shutil
+    from pathlib import Path
+
+    base = str(tmp_path / "store")
+    df1 = spark.createDataFrame(pd.DataFrame(
+        [("u1", "g0", "one"), ("u2", "g0", "two"), ("u3", "g1", "three")],
+        columns=["uuid", "group_id", "payload"]))
+    io.merge_upsert(spark, base, "nodes", df1)
+    # hand-craft the mid-swap crash state for a merge of (u2->TWO, +u4 in g0):
+    # staging holds merged g0, journal written, old g0 ALREADY DELETED,
+    # rename never happened — the hardest recovery point.
+    merged_g0 = spark.createDataFrame(pd.DataFrame(
+        [("u1", "g0", "one"), ("u2", "g0", "TWO"), ("u4", "g0", "four")],
+        columns=["uuid", "group_id", "payload"]))
+    staging = Path(base) / ".nodes.merge.staging"
+    merged_g0.write.mode("overwrite").partitionBy("group_id").parquet(str(staging))
+    staged = sorted(d.name for d in staging.glob("group_id=*"))
+    assert staged == ["group_id=g0"]
+    (Path(base) / ".nodes.merge.SWAP").write_text(
+        json.dumps({"staged_dirs": staged, "empty_groups": []}))
+    shutil.rmtree(Path(base) / "nodes" / "group_id=g0")  # the crash window
+    # ANY subsequent merge first finishes the swap, then applies itself
+    df3 = spark.createDataFrame(pd.DataFrame(
+        [("u3", "g1", "THREE")], columns=["uuid", "group_id", "payload"]))
+    io.merge_upsert(spark, base, "nodes", df3)
+    got = {r["uuid"]: r["payload"]
+           for r in io.read_table(spark, base, "nodes").collect()}
+    assert got == {"u1": "one", "u2": "TWO", "u3": "THREE", "u4": "four"}
+    assert not (Path(base) / ".nodes.merge.SWAP").exists()
+    assert not staging.exists()
+
+
+def test_merge_upsert_null_group_id(spark, tmp_path):
+    # r2 ADVICE (low): null group_id stages under __HIVE_DEFAULT_PARTITION__;
+    # the swap and the stale-partition purge must both match it.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base = str(tmp_path / "store")
+    schema = StructType([StructField("uuid", StringType()),
+                         StructField("group_id", StringType()),
+                         StructField("payload", StringType())])
+    df1 = spark.createDataFrame(
+        [("u1", None, "one"), ("u2", "g1", "two")], schema)
+    io.merge_upsert(spark, base, "nodes", df1)
+    # update the null-partition row in place
+    df2 = spark.createDataFrame([("u1", None, "ONE")], schema)
+    io.merge_upsert(spark, base, "nodes", df2)
+    rows = io.read_table(spark, base, "nodes").collect()
+    got = {(r["uuid"], r["group_id"]): r["payload"] for r in rows}
+    assert got == {("u1", None): "ONE", ("u2", "g1"): "two"}
+    # move the null-partition row into a real group: no stale null-row left
+    df3 = spark.createDataFrame([("u1", "g2", "moved")], schema)
+    io.merge_upsert(spark, base, "nodes", df3)
+    rows = io.read_table(spark, base, "nodes").collect()
+    got = {(r["uuid"], r["group_id"]): r["payload"] for r in rows}
+    assert got == {("u1", "g2"): "moved", ("u2", "g1"): "two"}
