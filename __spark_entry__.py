@@ -205,6 +205,40 @@ def q_kg_priority_boost(spark, sf_dir):
     return boosted.select("uuid", F.round("score", 4).alias("score"))
 
 
+def q_kg_message_speakers(spark, sf_dir):
+    # EpisodeType dispatch gate (message variant): speaker mentions from the
+    # Spark extraction (rule 1 of prompts/extract_nodes.py:91, dispatched at
+    # node_operations.py:177-187) vs a DuckDB re-derivation from RAW page
+    # content (line split + colon-prefix regex) — verifies the dispatch and
+    # the speaker rule end-to-end, not just downstream algebra
+    out = _kg(spark)
+    return (out["_mentions_raw"].filter(F.col("is_speaker"))
+            .select("url", "name").distinct())
+
+
+def _kg_json_urls(out):
+    return (out["episodes"].filter(F.col("source") == "json")
+            .select(F.col("uuid").alias("url")))
+
+
+def q_kg_json_mentions(spark, sf_dir):
+    # EpisodeType dispatch gate (json variant): entity fields extracted by
+    # the json rules (prompts/extract_nodes.py:111-134) vs DuckDB
+    # json_keys/json_extract over raw content
+    out = _kg(spark)
+    return (out["_mentions_raw"].join(_kg_json_urls(out), "url")
+            .select("url", "name").distinct())
+
+
+def q_kg_json_triples(spark, sf_dir):
+    # json relation-key triples + explicit 'since' dates vs a pure-SQL
+    # re-derivation (textcore.extract_json_triples rules)
+    out = _kg(spark)
+    return (out["_triples_raw"].join(_kg_json_urls(out), "url")
+            .select("url", "subject", "predicate", "object", "fact",
+                    "valid_at_explicit").distinct())
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / joins / top-k (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
@@ -768,6 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hybrid_search": q_kg_hybrid_search,
         "kg_provenance_sort": q_kg_provenance_sort,
         "kg_priority_boost": q_kg_priority_boost,
+        "kg_message_speakers": q_kg_message_speakers,
+        "kg_json_mentions": q_kg_json_mentions,
+        "kg_json_triples": q_kg_json_triples,
         "add_triplets": q_add_triplets,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,

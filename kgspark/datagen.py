@@ -183,6 +183,54 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random,
     return s
 
 
+def _episode_source(i: int) -> str:
+    """Deterministic EpisodeType mix (nodes.py:42-75): a fifth of the
+    single-fact storyline pages (roles 0/1/2/5) arrive as structured JSON
+    payloads carrying the SAME fact — so cross-source dedup, linking and
+    contradiction handling are exercised — and a third of the misc pages
+    (role 9) arrive as speakered chat logs."""
+    role, sid = i % 10, i // 10
+    if role in (0, 1, 2, 5) and sid % 5 == 2:
+        return "json"
+    if role == 9 and sid % 3 == 1:
+        return "message"
+    return "text"
+
+
+def _json_payload(i: int, n_pages: int) -> str:
+    """Flat JSON object restating the page's storyline fact. Relation keys
+    lower_snake of the CAPS predicate; 'since' carries the explicit date
+    (textcore.JSON_RELATION_KEYS / _JSON_DATE_KEYS_VALID rules). norm_fact
+    of the emitted "<subj> <key> <obj>." sentence equals the text page's
+    dedup class (underscores normalize to spaces, date phrases strip), so a
+    JSON restatement provenance-merges with its text twin."""
+    import json as _json
+
+    role, sid = i % 10, i // 10
+    n_people = max(24, n_pages // 20)
+    n_brands = max(12, n_pages // 50)
+    p, b = sid % n_people, sid % n_brands
+    story_day = BASE_TS + timedelta(days=(sid % 300))
+    obj: dict = {"name": _person(p)}
+    if role == 0:
+        obj["likes"] = _brand(b)
+    elif role == 5:
+        obj["dislikes"] = _brand(b)
+    elif role == 1:
+        obj["works_for"] = _brand(b)
+        obj["since"] = _date_str(story_day)
+    elif role == 2:
+        obj["lives_in"] = _city(sid)
+    obj["status"] = "active"
+    return _json.dumps(obj)
+
+
+def _render_json_html(payload: str) -> str:
+    # minimal wrapper: html_to_text must yield EXACTLY the payload line
+    # (no title/boilerplate), so json extraction parses the text column
+    return f"<html><body><p>{payload}</p></body></html>"
+
+
 def _render_html(sentences: list[str], rng: random.Random) -> str:
     body = "".join(f"<p>{s}.</p>" for s in sentences)
     noise_class = f"c{rng.randint(0, 999)}"
@@ -218,8 +266,21 @@ def gen_pages_batch(indices: Iterable[int], n_pages: int, seed: int = SEED,
         rng = random.Random(f"{seed}|page|{i}")
         sid = i // 10
         domain = _DOMAINS[sid % len(_DOMAINS)]
-        sentences = _page_sentences(i, n_pages, rng, richness)
-        html = _render_html(sentences, rng)
+        source = _episode_source(i)
+        if source == "json":
+            html = _render_json_html(_json_payload(i, n_pages))
+        else:
+            sentences = _page_sentences(i, n_pages, rng, richness)
+            if source == "message":
+                # speakered chat log: every line is "handle: sentence"
+                n_people = max(24, n_pages // 20)
+                handles = [_person(sid % n_people).lower().replace(" ", "_"),
+                           _person((sid + 1) % n_people).lower().replace(" ", "_")]
+                # strip any pre-existing "handle: " prefix (the 25%
+                # speaker-form text rule), then re-prefix every line
+                sentences = [f"{handles[j % 2]}: {s.split(': ', 1)[-1]}"
+                             for j, s in enumerate(sentences)]
+            html = _render_html(sentences, rng)
         rows.append({
             "url": f"https://{domain}/p/{i:08d}",
             "warc_ts": _warc_ts(i),
@@ -227,8 +288,10 @@ def gen_pages_batch(indices: Iterable[int], n_pages: int, seed: int = SEED,
             "text": html_to_text(html),
             "lang": _LANGS[rng.randint(0, len(_LANGS) - 1)],
             "group_id": group_of_domain(domain),
+            "source": source,
         })
-    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang", "group_id"])
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang",
+                                     "group_id", "source"])
     df["warc_ts"] = pd.to_datetime(df["warc_ts"])
     return df
 
@@ -238,7 +301,7 @@ def pages_pandas(n_pages: int, seed: int = SEED, richness: int = 1) -> pd.DataFr
 
 
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, text string, "
-             "lang string, group_id string")
+             "lang string, group_id string, source string")
 
 
 def pages_spark(spark, n_pages: int, seed: int = SEED, partitions: int | None = None,

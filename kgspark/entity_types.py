@@ -34,13 +34,25 @@ class EntityType:
     invariant (node_operations.py:56-64,379-394). A registry type that
     shadows names the built-in classifier would call DynamicEvent (e.g.
     keyword 'Outage' over 'Outage 2024-01-05') should set this, otherwise
-    its recurrences become linkable."""
+    its recurrences become linkable.
+
+    ``extract``: per-attribute VALUE extraction from episode content — the
+    deterministic analog of the reference's dynamic-Pydantic-model fill
+    (node_operations.py:303-358, prompts/summarize_nodes.py:91-129), where
+    the LLM populates each declared field from the episode text. Each entry
+    is (attr_name, pattern_template); the template's ``{name}`` placeholder
+    is replaced with the re-escaped entity name and capture group 1 is the
+    value, e.g. ``("hq", r"{name} is headquartered in ([A-Z][a-zA-Z]+)")``.
+    Values found in content OVERRIDE the static ``attributes`` defaults.
+    JSON episodes additionally fill declared attribute names directly from
+    same-named scalar fields of the payload (the subject entity only)."""
     name: str
     pattern: str | None = None
     suffixes: tuple[str, ...] = ()
     keywords: tuple[str, ...] = ()
     attributes: tuple[tuple[str, str], ...] = ()
     dynamic: bool = False
+    extract: tuple[tuple[str, str], ...] = ()
 
     def matches(self, entity_name: str) -> bool:
         toks = entity_name.split()
@@ -79,6 +91,63 @@ class EntityTypeRegistry:
 def dynamic_labels(registry: EntityTypeRegistry | None) -> frozenset[str]:
     return registry.dynamic_labels() if registry is not None \
         else frozenset({"DynamicEvent"})
+
+
+def has_extraction(registry: EntityTypeRegistry | None) -> bool:
+    """True when any registered type declares content-extraction work
+    (patterns, or a schema a JSON payload could fill) — the pipeline skips
+    the attribute aggregation entirely otherwise."""
+    return registry is not None and any(
+        t.extract or t.attributes for t in registry.types)
+
+
+def extract_attributes(registry: EntityTypeRegistry | None, source: str,
+                       text: str, mentions) -> dict[str, dict[str, str]]:
+    """entity name -> {attr: value} extracted from one episode's content.
+
+    Two deterministic fill rules (node_operations.py:303-358 analog):
+    1. pattern templates (``EntityType.extract``) applied to the episode
+       text per typed mention — works for every episode source;
+    2. JSON episodes: declared attribute names of the SUBJECT entity's type
+       are filled from same-named scalar payload fields (the prompt's
+       "simple properties are attributes" rule, prompts/extract_nodes.py:131).
+    """
+    import re as _re
+
+    if registry is None:
+        return {}
+    out: dict[str, dict[str, str]] = {}
+    by_label = {t.name: t for t in registry.types}
+    for m in mentions:
+        t = by_label.get(m.label)
+        if t is None or not t.extract:
+            continue
+        vals = {}
+        for attr, template in t.extract:
+            rx = _re.compile(template.replace("{name}", _re.escape(m.name)))
+            got = rx.search(text)
+            if got:
+                vals[attr] = got.group(1)
+        if vals:
+            out.setdefault(m.name, {}).update(vals)
+    if source == "json":
+        from kgspark.textcore import json_entity_fields, parse_json_episode
+        fields = json_entity_fields(text)
+        subject = next((v for k, v in fields if k == "name"),
+                       next((v for k, v in fields if k.endswith("_name")),
+                            None))
+        if subject is not None:
+            label = next((m.label for m in mentions if m.name == subject),
+                         None)
+            t = by_label.get(label)
+            if t is not None and t.attributes:
+                declared = {k for k, _ in t.attributes}
+                obj = parse_json_episode(text) or {}
+                for k, v in obj.items():
+                    if k in declared and isinstance(v, (str, int, float)) \
+                            and not isinstance(v, bool):
+                        out.setdefault(subject, {})[k] = str(v)
+    return out
 
 
 def make_classifier(registry: EntityTypeRegistry | None):

@@ -42,6 +42,7 @@ from kgspark.textcore import (
     CONTRA_PAIR_CLASSES,
     EVENT_PREDICATES,
     FUNCTIONAL_PREDICATES,
+    JSON_RELATION_KEYS,
 )
 
 KG_ORACLE_DIR = "/tmp/kgspark_kg_oracle"
@@ -86,7 +87,14 @@ def materialize(spark: SparkSession, pages: DataFrame,
         emb = udfs.embed_entities(entities)
     lp = communities.label_propagation(communities.adjacency(edges))
     frames = {
-        "pages_meta": pages.select("url", "lang").toPandas(),
+        # url/group/lang/source + raw content: the episode-source oracles
+        # (kg_message_speakers / kg_json_*) re-derive extraction from RAW
+        # content in SQL (line split + split-part speakers; json_keys/
+        # json_extract fields), so the EpisodeType dispatch itself is
+        # hash-gated, not just the downstream algebra
+        "pages_meta": pages.select(
+            "url", "group_id", "lang", "source",
+            F.col("text").alias("content")).toPandas(),
         "mentions_raw": mentions_raw.toPandas(),
         "triples_raw": triples_raw.toPandas(),
         "band_keys": bands.toPandas(),
@@ -547,4 +555,58 @@ def oracle_queries(d: str = KG_ORACLE_DIR) -> dict[str, str]:
         SELECT uuid, round(sum(1.0 / (rank + 1)), 8) AS rrf_score
         FROM ranked GROUP BY uuid
         ORDER BY rrf_score DESC, uuid LIMIT 20"""
+
+    # --- EpisodeType dispatch oracles: re-derive the message/json
+    # extraction rules from RAW page content (textcore.extract_message_*/
+    # extract_json_* twins; reference node_operations.py:67-124,177-187).
+    # These bypass mentions_raw/triples_raw entirely — a dispatch bug on
+    # the Spark side (wrong variant, wrong speaker rule, wrong field rule)
+    # breaks the hash even though the materialized intermediates "agree".
+    spk_re = r"^([A-Za-z][A-Za-z0-9_ .\-]{0,63}?):\s"
+    q["kg_message_speakers"] = f"""
+        WITH pm AS (SELECT url, content FROM '{d}/pages_meta.parquet'
+                    WHERE source = 'message'),
+        lines AS (SELECT url, trim(unnest(string_split(content, chr(10)))) AS line
+                  FROM pm)
+        SELECT DISTINCT url,
+               trim(regexp_extract(line, '{spk_re}', 1)) AS name
+        FROM lines
+        WHERE regexp_matches(line, '{spk_re}')"""
+    rel_keys = ", ".join(f"'{k}'" for k in sorted(JSON_RELATION_KEYS))
+    json_kv = f"""
+        pm AS (SELECT url, content FROM '{d}/pages_meta.parquet'
+               WHERE source = 'json'),
+        kv AS (SELECT url, content, unnest(json_keys(content)) AS k FROM pm),
+        vals AS (SELECT url, k,
+                        trim(json_extract_string(content, '$.' || k)) AS v
+                 FROM kv)"""
+    ent_key = (r"(regexp_matches(k, '(^name$|_name$|_id$|_sku$)') "
+               f"OR k IN ({rel_keys}))")
+
+    def usable(v: str) -> str:  # textcore.json_entity_fields value filter
+        return (f"({v} IS NOT NULL AND {v} <> '' AND NOT "
+                + r"regexp_matches(" + v + r", '^\d{4}-\d{2}-\d{2}'))")
+
+    q["kg_json_mentions"] = f"""
+        WITH {json_kv}
+        SELECT DISTINCT url, v AS name FROM vals
+        WHERE {usable('v')} AND {ent_key}"""
+    # subject = the 'name' field (the fixture always carries one; the
+    # python rule's first-*_name fallback is unit-tested instead)
+    q["kg_json_triples"] = f"""
+        WITH {json_kv},
+        subj AS (SELECT url,
+                        trim(json_extract_string(content, '$.name')) AS subject,
+                        coalesce(
+                          try_cast(json_extract_string(content, '$.since') AS TIMESTAMP),
+                          try_cast(json_extract_string(content, '$.valid_from') AS TIMESTAMP)
+                        ) AS valid_at_explicit
+                 FROM pm)
+        SELECT DISTINCT r.url, s.subject, upper(r.k) AS predicate,
+               r.v AS object,
+               s.subject || ' ' || r.k || ' ' || r.v || '.' AS fact,
+               s.valid_at_explicit
+        FROM vals r JOIN subj s USING (url)
+        WHERE r.k IN ({rel_keys}) AND {usable('r.v')}
+          AND s.subject IS NOT NULL AND s.subject <> '' AND r.v <> s.subject"""
     return q

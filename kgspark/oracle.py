@@ -96,9 +96,11 @@ def run_oracle(pages: pd.DataFrame) -> dict[str, pd.DataFrame]:
         url, gid = page["url"], page["group_id"]
         ts = page["warc_ts"].to_pydatetime() if hasattr(page["warc_ts"], "to_pydatetime") else page["warc_ts"]
         text = page["text"]
+        source = page["source"] if "source" in page else "text"
 
-        # 1. mention detection (node_operations.py:148-265 analog)
-        page_mentions = tc.extract_mentions(text)
+        # 1. mention detection (node_operations.py:148-265 analog;
+        # EpisodeType dispatch node_operations.py:177-187)
+        page_mentions = tc.extract_mentions_for(source, text)
         name_to_uuid: dict[str, str] = {}
         for m in page_mentions:
             nn = tc.normalize_name(m.name)
@@ -142,7 +144,7 @@ def run_oracle(pages: pd.DataFrame) -> dict[str, pd.DataFrame]:
             })
 
         # 4. triple extraction + dedup + dates (edge_operations analog)
-        for t in tc.extract_triples(text, ts):
+        for t in tc.extract_triples_for(source, text, ts):
             src = name_to_uuid.get(tc.normalize_name(t.subject))
             dst = name_to_uuid.get(tc.normalize_name(t.object))
             if src is None or dst is None or src == dst:

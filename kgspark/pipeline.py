@@ -55,7 +55,12 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     if batch_ts is None:
         batch_ts = datetime(2025, 1, 1)
 
-    pages = pages.select("url", "group_id", "warc_ts", "html", "text", "lang")
+    # episode source (EpisodeType, nodes.py:42-75): pages without the column
+    # are plain text episodes; extraction dispatches per row downstream
+    if "source" not in pages.columns:
+        pages = pages.withColumn("source", F.lit("text"))
+    pages = pages.select("url", "group_id", "warc_ts", "html", "text", "lang",
+                         "source")
 
     out: dict[str, DataFrame] = {}
 
@@ -175,6 +180,45 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
                     F.create_map(*kv)).otherwise(chain)
         node_rows = node_rows.withColumn(
             "attributes", F.map_concat("attributes", chain))
+    from kgspark.entity_types import has_extraction
+    if has_extraction(entity_types):
+        # attribute VALUES extracted from episode content (the dynamic
+        # Pydantic-model fill, node_operations.py:303-358): per canonical
+        # node and key, the latest (warc_ts, url) value wins and OVERRIDES
+        # the static schema default. One filtered aggregate over the
+        # (sparse) attrs column — rows without extracted values never enter
+        # the shuffle, and the whole block is skipped for registries with
+        # no extraction work.
+        reserved_keys = F.array(F.lit("entity_type"), F.lit("mention_count"))
+        attr_rows = (
+            mentions_raw
+            .filter(F.col("attrs").isNotNull())
+            .select("group_id", "norm_name", "warc_ts", "url",
+                    F.explode(F.from_json("attrs", "map<string,string>"))
+                     .alias("k", "v"))
+            .filter(~F.array_contains(reserved_keys, F.col("k")))
+            .withColumn("uuid", F.md5(F.concat_ws(
+                "|", F.lit("ent"), F.col("group_id"), F.col("norm_name"))))
+        )
+        attr_rows = cc.resolve_pointers(attr_rows, mapping, ["uuid"])
+        extracted = (
+            attr_rows
+            .groupBy("group_id", "uuid", "k")
+            .agg(F.max(F.struct("warc_ts", "url", "v")).alias("m"))
+            .groupBy("group_id", "uuid")
+            .agg(F.map_from_entries(F.collect_list(
+                F.struct(F.col("k"), F.col("m.v")))).alias("extracted_attrs"))
+        )
+        node_rows = (
+            node_rows.join(extracted, ["group_id", "uuid"], "left")
+            .withColumn("attributes", F.when(
+                F.col("extracted_attrs").isNull(), F.col("attributes")
+            ).otherwise(F.map_concat(
+                F.map_filter("attributes", lambda k, _: ~F.array_contains(
+                    F.map_keys(F.col("extracted_attrs")), k)),
+                F.col("extracted_attrs"))))
+            .drop("extracted_attrs")
+        )
     if compute_embeddings:
         # reuse the per-entity embedding table: hash_embedding is a function
         # of the normalized name, so the representative name's embedding is
@@ -303,8 +347,11 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
             F.col("url").alias("uuid"),
             F.col("url").alias("name"),
             "group_id",
-            F.lit("text").alias("source"),
-            F.lit("web crawl").alias("source_description"),
+            "source",
+            # EpisodeType -> source_description (nodes.py:133-149 field)
+            F.when(F.col("source") == "message", F.lit("chat log"))
+             .when(F.col("source") == "json", F.lit("structured payload"))
+             .otherwise(F.lit("web crawl")).alias("source_description"),
             F.col("text").alias("content"),
             F.col("warc_ts").alias("valid_at"),
             F.col("warc_ts").alias("created_at"),

@@ -155,6 +155,7 @@ class Mention:
     name: str
     label: str
     start: int  # char offset within the sentence
+    speaker: bool = False  # True only for message-episode speaker mentions
 
 
 def split_sentences(text: str) -> list[str]:
@@ -472,6 +473,217 @@ def extract_page(text: str, ref_ts: datetime,
             triples.append(Triple(a.name, pred, b.name, sent.strip() + ".",
                                   dates[0], dates[1], dates[2]))
     return mentions, triples
+
+
+# ---------------------------------------------------------------------------
+# Episode-source variants: message / json (EpisodeType dispatch)
+#
+# Reference: nodes.py:42-75 (EpisodeType enum: message | json | text) and the
+# per-source extraction split at node_operations.py:67-124 dispatched at
+# :177-187. `message` content is "speaker: content" lines; rule 1 of
+# prompts/extract_nodes.py:91 is "ALWAYS extract the speaker/actor as the
+# first node (part before the colon)". `json` content is a JSON object;
+# prompts/extract_nodes.py:111-134 extracts key identifiers (campaign_id,
+# creator_name, brand_id, product_sku, ...), never date-valued properties,
+# and leaves plain scalar properties to attribute handling.
+#
+# The deterministic rules below are deliberately SQL-expressible (line
+# split + split_part for speakers; json_keys/json_extract for fields) so the
+# driver's DuckDB oracles can re-derive them from RAW page content — the
+# dispatch itself gets a hard correctness gate, not just the downstream
+# algebra.
+# ---------------------------------------------------------------------------
+
+# "part before the colon": a handle or a full name, colon-terminated at the
+# start of a message line. Non-greedy + the \s anchor keep URL-ish bodies
+# ("see https://x") from matching.
+_MSG_SPEAKER_RE = re.compile(r"^([A-Za-z][A-Za-z0-9_ .\-]{0,63}?):\s")
+
+
+def split_messages(text: str) -> list[tuple[str | None, str]]:
+    """One message per non-blank line -> (speaker | None, body)."""
+    out = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        m = _MSG_SPEAKER_RE.match(line)
+        if m:
+            out.append((m.group(1).strip(), line[m.end():]))
+        else:
+            out.append((None, line))
+    return out
+
+
+def extract_message_mentions(text: str, classifier=None) -> list[Mention]:
+    """Message-episode mention detection (extract_message_nodes analog,
+    node_operations.py:67-85). Speakers FIRST across the whole episode
+    (rule 1, prompts/extract_nodes.py:91 — always extracted, always Person,
+    flagged ``speaker=True``), then the standard Title-Case scan over each
+    message body."""
+    if classifier is None:
+        classifier = classify_name
+    seen: set[str] = set()
+    mentions: list[Mention] = []
+    msgs = split_messages(text)
+    for spk, _body in msgs:
+        if spk is not None and spk not in seen:
+            seen.add(spk)
+            mentions.append(Mention(spk, "Person", 0, speaker=True))
+    offset = 0
+    for _spk, body in msgs:
+        for m in extract_mentions(body, classifier):
+            if m.name not in seen:
+                seen.add(m.name)
+                mentions.append(Mention(m.name, m.label, offset + m.start))
+        offset += len(body) + 2
+    return mentions
+
+
+def extract_message_triples(text: str, ref_ts: datetime) -> list[Triple]:
+    """Triple extraction over message bodies (speaker prefix stripped per
+    line — the reference's edge pass runs on the same content the node pass
+    saw, edge_operations.py:73-148)."""
+    triples: list[Triple] = []
+    for _spk, body in split_messages(text):
+        triples.extend(extract_triples(body, ref_ts))
+    return triples
+
+
+# JSON field rules (prompts/extract_nodes.py:111-134): keys that carry
+# entity identity vs relation keys vs date keys vs plain attributes.
+_JSON_ENTITY_KEY_RE = re.compile(r"(?:^name$|.*_name$|.*_id$|.*_sku$)")
+# relation key -> CAPS predicate is uniformly upper() — kept that way so the
+# DuckDB oracle is a one-liner
+JSON_RELATION_KEYS = {
+    k: k.upper() for k in (
+        "sponsors", "works_for", "lives_in", "likes", "dislikes", "manages",
+        "features", "participates_in", "collaborates_with",
+    )
+}
+_JSON_DATE_KEYS_VALID = ("since", "valid_from")
+_JSON_DATE_KEYS_INVALID = ("until", "valid_to")
+_DATEISH_VALUE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}")
+
+
+def parse_json_episode(text: str) -> dict | None:
+    """json.loads that degrades to None on malformed content — crawled
+    payloads must never kill the extraction task."""
+    import json as _json
+    try:
+        obj = _json.loads(text)
+    except Exception:
+        return None
+    return obj if isinstance(obj, dict) else None
+
+
+def _json_items(obj, prefix: str = ""):
+    """Depth-first (document-order) walk yielding (leaf_key, value) for
+    scalar leaves; nested dicts/lists are flattened (the LLM reads the whole
+    payload — node_operations.py:109-124). Leaf key = last path segment, so
+    the flat-object rules apply at any depth."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            yield from _json_items(v, str(k))
+    elif isinstance(obj, list):
+        for v in obj:
+            yield from _json_items(v, prefix)
+    else:
+        yield prefix, obj
+
+
+def json_entity_fields(text: str) -> list[tuple[str, str]]:
+    """(key, value) pairs whose key names an entity identifier and whose
+    value is a usable non-date string (rules 1+4 of
+    prompts/extract_nodes.py:128-133)."""
+    obj = parse_json_episode(text)
+    if obj is None:
+        return []
+    out = []
+    for k, v in _json_items(obj):
+        if not isinstance(v, str) or not v.strip():
+            continue
+        if _DATEISH_VALUE_RE.match(v.strip()):
+            continue  # rule 4: no date-valued properties
+        if _JSON_ENTITY_KEY_RE.fullmatch(k) or k in JSON_RELATION_KEYS:
+            out.append((k, v.strip()))
+    return out
+
+
+def extract_json_mentions(text: str, classifier=None) -> list[Mention]:
+    """JSON-episode mention detection (extract_json_nodes analog,
+    node_operations.py:109-124): values are taken VERBATIM (no Title-Case
+    trimming — JSON identity fields are already exact), relation targets
+    count as entities (rule 1 of extract_edges: both endpoints must be
+    extracted nodes)."""
+    if classifier is None:
+        classifier = classify_name
+    seen: set[str] = set()
+    mentions: list[Mention] = []
+    for i, (_k, v) in enumerate(json_entity_fields(text)):
+        if v not in seen:
+            seen.add(v)
+            mentions.append(Mention(v, classifier(v), i))
+    return mentions
+
+
+def extract_json_triples(text: str, ref_ts: datetime) -> list[Triple]:
+    """JSON-episode triple extraction: subject = the 'name' field (falling
+    back to the first *_name field in document order), one triple per
+    relation key whose value is an extracted entity; 'since'/'until'
+    (valid_from/valid_to) fields set explicit bi-temporal bounds. fact is
+    the canonical "<subj> <key> <obj>." sentence so downstream dedup and
+    the DuckDB oracle agree byte-for-byte."""
+    fields = json_entity_fields(text)
+    subject = None
+    for k, v in fields:
+        if k == "name":
+            subject = v
+            break
+    if subject is None:
+        for k, v in fields:
+            if k.endswith("_name"):
+                subject = v
+                break
+    if subject is None:
+        return []
+    obj = parse_json_episode(text)
+    valid_at = invalid_at = None
+    explicit = False
+    for k, v in _json_items(obj):
+        if isinstance(v, str):
+            d = _parse_date_token(v.strip())
+            if d is not None:
+                if k in _JSON_DATE_KEYS_VALID and valid_at is None:
+                    valid_at, explicit = d, True
+                elif k in _JSON_DATE_KEYS_INVALID and invalid_at is None:
+                    invalid_at, explicit = d, True
+    triples = []
+    for k, v in fields:
+        pred = JSON_RELATION_KEYS.get(k)
+        if pred is None or v == subject:
+            continue
+        fact = f"{subject} {k} {v}."
+        triples.append(Triple(subject, pred, v, fact,
+                              valid_at, invalid_at, explicit))
+    return triples
+
+
+def extract_mentions_for(source: str, text: str, classifier=None) -> list[Mention]:
+    """EpisodeType dispatch (node_operations.py:177-187)."""
+    if source == "message":
+        return extract_message_mentions(text, classifier)
+    if source == "json":
+        return extract_json_mentions(text, classifier)
+    return extract_mentions(text, classifier)
+
+
+def extract_triples_for(source: str, text: str, ref_ts: datetime) -> list[Triple]:
+    if source == "message":
+        return extract_message_triples(text, ref_ts)
+    if source == "json":
+        return extract_json_triples(text, ref_ts)
+    return extract_triples(text, ref_ts)
 
 
 # ---------------------------------------------------------------------------

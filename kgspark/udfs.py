@@ -59,41 +59,71 @@ def extract_text(pages: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MENTIONS_DDL = ("url string, group_id string, warc_ts timestamp, "
-                "name string, label string, norm_name string")
+                "name string, label string, norm_name string, "
+                "is_speaker boolean, attrs string")
+
+
+def _with_source(pages: DataFrame) -> DataFrame:
+    """Pages without an EpisodeType column are plain text episodes
+    (nodes.py:42-75 default)."""
+    if "source" not in pages.columns:
+        pages = pages.withColumn("source", F.lit("text"))
+    return pages
 
 
 def extract_mentions(pages: DataFrame, entity_types=None) -> DataFrame:
     """``entity_types``: optional EntityTypeRegistry — custom labels win
     over the built-in classifier (kgspark/entity_types.py).
 
+    Dispatches per row on the episode ``source`` column (text | message |
+    json — node_operations.py:177-187 analog; absent column = all text).
+    ``is_speaker`` marks message-episode speaker mentions (rule 1 of
+    prompts/extract_nodes.py:91).
+
     Emits ``norm_name`` directly: normalization is memoized per distinct
     name inside the already-running Python stage, which keeps the heavily
     allocating Java-regex normalization out of the multi-million-row hot
     path (it inflated CPU ~4x at high thread counts — BENCH/BASELINE.md)."""
-    from kgspark.entity_types import make_classifier
+    from kgspark.entity_types import (extract_attributes, has_extraction,
+                                      make_classifier)
     classifier = make_classifier(entity_types)
+    extract_attrs = has_extraction(entity_types)
+    pages = _with_source(pages)
 
     def run(batches):
+        import json as _json
         norm = _memoized(tc.normalize_name)
         for pdf in batches:
             out = {"url": [], "group_id": [], "warc_ts": [], "name": [],
-                   "label": [], "norm_name": []}
-            for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
-                                          pdf["warc_ts"], pdf["text"]):
-                for m in tc.extract_mentions(text, classifier):
+                   "label": [], "norm_name": [], "is_speaker": [],
+                   "attrs": []}
+            for url, gid, ts, text, src in zip(pdf["url"], pdf["group_id"],
+                                               pdf["warc_ts"], pdf["text"],
+                                               pdf["source"]):
+                ms = tc.extract_mentions_for(src, text, classifier)
+                # attribute VALUES from content (node_operations.py:303-358
+                # analog) — computed once per page, only when the registry
+                # declares extraction work
+                amap = (extract_attributes(entity_types, src, text, ms)
+                        if extract_attrs else {})
+                for m in ms:
                     out["url"].append(url)
                     out["group_id"].append(gid)
                     out["warc_ts"].append(ts)
                     out["name"].append(m.name)
                     out["label"].append(m.label)
                     out["norm_name"].append(norm(m.name))
+                    out["is_speaker"].append(m.speaker)
+                    a = amap.get(m.name)
+                    out["attrs"].append(_json.dumps(a) if a else None)
             if out["url"]:
                 # empty frames get pandas' default dtypes, which Arrow
                 # cannot cast to the declared schema (e.g. float64 ->
                 # timestamp) — a mention-free partition must yield nothing
                 yield pd.DataFrame(out)
 
-    return pages.select("url", "group_id", "warc_ts", "text").mapInPandas(run, MENTIONS_DDL)
+    return pages.select("url", "group_id", "warc_ts", "text",
+                        "source").mapInPandas(run, MENTIONS_DDL)
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +140,10 @@ TRIPLES_DDL = ("url string, group_id string, warc_ts timestamp, "
 
 def extract_triples(pages: DataFrame) -> DataFrame:
     """Emits ``norm_subj``/``norm_obj`` directly (memoized python
-    normalization — see extract_mentions note)."""
+    normalization — see extract_mentions note). Dispatches per row on the
+    episode ``source`` column like extract_mentions."""
+    pages = _with_source(pages)
+
     def run(batches):
         norm = _memoized(tc.normalize_name)
         # normalize_fact runs 5 date regexes + normalize_name; web text
@@ -120,10 +153,11 @@ def extract_triples(pages: DataFrame) -> DataFrame:
         normf = _memoized(tc.normalize_fact)
         for pdf in batches:
             rows = []
-            for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
-                                          pdf["warc_ts"], pdf["text"]):
+            for url, gid, ts, text, src in zip(pdf["url"], pdf["group_id"],
+                                               pdf["warc_ts"], pdf["text"],
+                                               pdf["source"]):
                 ref = ts.to_pydatetime()
-                for t in tc.extract_triples(text, ref):
+                for t in tc.extract_triples_for(src, text, ref):
                     rows.append((url, gid, ts, t.subject, t.predicate, t.object,
                                  t.fact, t.valid_at, t.invalid_at,
                                  t.explicit_dates, normf(t.fact),
@@ -135,7 +169,8 @@ def extract_triples(pages: DataFrame) -> DataFrame:
                     "invalid_at_explicit", "explicit_dates", "norm_fact",
                     "norm_subj", "norm_obj"])
 
-    return pages.select("url", "group_id", "warc_ts", "text").mapInPandas(run, TRIPLES_DDL)
+    return pages.select("url", "group_id", "warc_ts", "text",
+                        "source").mapInPandas(run, TRIPLES_DDL)
 
 
 # ---------------------------------------------------------------------------
@@ -145,12 +180,14 @@ def extract_triples(pages: DataFrame) -> DataFrame:
 
 EVENTS_DDL = ("kind string, url string, group_id string, warc_ts timestamp, "
               "name string, label string, norm_name string, "
+              "is_speaker boolean, attrs string, "
               "subject string, predicate string, object string, fact string, "
               "valid_at_explicit timestamp, invalid_at_explicit timestamp, "
               "explicit_dates boolean, norm_fact string, "
               "norm_subj string, norm_obj string")
 
-_M_COLS = ["url", "group_id", "warc_ts", "name", "label", "norm_name"]
+_M_COLS = ["url", "group_id", "warc_ts", "name", "label", "norm_name",
+           "is_speaker", "attrs"]
 _T_COLS = ["url", "group_id", "warc_ts", "subject", "predicate", "object",
            "fact", "valid_at_explicit", "invalid_at_explicit",
            "explicit_dates", "norm_fact", "norm_subj", "norm_obj"]
@@ -163,23 +200,42 @@ def extract_page_events(pages: DataFrame, entity_types=None) -> DataFrame:
     twice (extract_triples re-detects mentions per sentence, so the split
     UDFs cost ~3 regex passes per page; this costs one —
     textcore.extract_page)."""
-    from kgspark.entity_types import make_classifier
+    from kgspark.entity_types import (extract_attributes, has_extraction,
+                                      make_classifier)
     classifier = make_classifier(entity_types)
+    extract_attrs = has_extraction(entity_types)
+    pages = _with_source(pages)
 
     def run(batches):
+        import json as _json
         norm = _memoized(tc.normalize_name)
         normf = _memoized(tc.normalize_fact)
         for pdf in batches:
             rows = []
-            for url, gid, ts, text in zip(pdf["url"], pdf["group_id"],
-                                          pdf["warc_ts"], pdf["text"]):
-                ms, tps = tc.extract_page(text, ts.to_pydatetime(), classifier)
+            for url, gid, ts, text, src in zip(pdf["url"], pdf["group_id"],
+                                               pdf["warc_ts"], pdf["text"],
+                                               pdf["source"]):
+                if src == "text":
+                    ms, tps = tc.extract_page(text, ts.to_pydatetime(),
+                                              classifier)
+                else:
+                    # message/json episodes are cheap to parse (no fused
+                    # single-scan needed) — dispatch to the spec pair
+                    ms = tc.extract_mentions_for(src, text, classifier)
+                    tps = tc.extract_triples_for(src, text,
+                                                 ts.to_pydatetime())
+                amap = (extract_attributes(entity_types, src, text, ms)
+                        if extract_attrs else {})
                 for m in ms:
+                    a = amap.get(m.name)
                     rows.append(("m", url, gid, ts, m.name, m.label,
-                                 norm(m.name), None, None, None, None,
-                                 None, None, None, None, None, None))
+                                 norm(m.name), m.speaker,
+                                 _json.dumps(a) if a else None,
+                                 None, None, None,
+                                 None, None, None, None, None, None, None))
                 for t in tps:
-                    rows.append(("t", url, gid, ts, None, None, None,
+                    rows.append(("t", url, gid, ts, None, None, None, None,
+                                 None,
                                  t.subject, t.predicate, t.object, t.fact,
                                  t.valid_at, t.invalid_at, t.explicit_dates,
                                  normf(t.fact),
@@ -187,11 +243,12 @@ def extract_page_events(pages: DataFrame, entity_types=None) -> DataFrame:
             if rows:  # see extract_mentions: empty-frame dtype vs Arrow cast
                 yield pd.DataFrame(rows, columns=[
                     "kind", "url", "group_id", "warc_ts", "name", "label",
-                    "norm_name", "subject", "predicate", "object", "fact",
-                    "valid_at_explicit", "invalid_at_explicit",
-                    "explicit_dates", "norm_fact", "norm_subj", "norm_obj"])
+                    "norm_name", "is_speaker", "attrs", "subject",
+                    "predicate", "object", "fact", "valid_at_explicit",
+                    "invalid_at_explicit", "explicit_dates", "norm_fact",
+                    "norm_subj", "norm_obj"])
 
-    return pages.select("url", "group_id", "warc_ts", "text") \
+    return pages.select("url", "group_id", "warc_ts", "text", "source") \
         .mapInPandas(run, EVENTS_DDL)
 
 

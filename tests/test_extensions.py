@@ -437,3 +437,66 @@ def test_merge_upsert_null_group_id(spark, tmp_path):
     rows = io.read_table(spark, base, "nodes").collect()
     got = {(r["uuid"], r["group_id"]): r["payload"] for r in rows}
     assert got == {("u1", "g2"): "moved", ("u2", "g1"): "two"}
+
+
+def test_attribute_values_extracted_from_content(spark):
+    # round-3: attribute VALUES come from episode content (deterministic
+    # analog of the dynamic Pydantic fill, node_operations.py:303-358), not
+    # just static schema defaults. The value below appears ONLY in page
+    # text; the pattern template fills it and it overrides the default.
+    from datetime import datetime as dt
+
+    from kgspark.pipeline import build_graph
+
+    registry = EntityTypeRegistry(types=(
+        EntityType(name="Metro", suffixes=("City",),
+                   attributes=(("country", "unknown"), ("tier", "metro")),
+                   extract=(("country", r"{name} is located in ([A-Z][a-z]+)"),)),
+    ))
+    html1 = (b"<html><body><p>Ana Ruiz lives in Quito City.</p>"
+             b"<p>Quito City is located in Ecuador.</p></body></html>")
+    html2 = b"<html><body><p>Bo Chen lives in Lima City.</p></body></html>"
+    from kgspark.textcore import html_to_text
+    pages = spark.createDataFrame(pd.DataFrame([
+        ("u1", dt(2024, 1, 1), bytearray(html1),
+         html_to_text(html1), "en", "g0", "text"),
+        ("u2", dt(2024, 2, 1), bytearray(html2),
+         html_to_text(html2), "en", "g0", "text"),
+    ], columns=["url", "warc_ts", "html", "text", "lang", "group_id",
+                "source"]))
+    out = build_graph(pages, BATCH_TS, check_text=False,
+                      compute_embeddings=False, entity_types=registry)
+    attrs = {r["name"]: r["attributes"] for r in
+             out["nodes"].filter(F.array_contains("labels", "Metro")).collect()}
+    assert attrs["Quito City"]["country"] == "Ecuador"  # from content
+    assert attrs["Quito City"]["tier"] == "metro"       # default kept
+    assert attrs["Lima City"]["country"] == "unknown"   # no match -> default
+
+
+def test_attribute_values_filled_from_json_payload(spark):
+    # JSON episodes fill DECLARED attribute names of the subject entity from
+    # same-named scalar payload fields (prompts/extract_nodes.py:131 rule)
+    from datetime import datetime as dt
+
+    from kgspark.pipeline import build_graph
+    from kgspark.textcore import html_to_text
+
+    registry = EntityTypeRegistry(types=(
+        EntityType(name="Creator", pattern=r"[A-Z][a-z]+ [A-Z][a-z]+",
+                   attributes=(("status", "unknown"), ("followers", "0"))),
+    ))
+    payload = ('{"name": "Priya Sharma", "likes": "Glowco", '
+               '"status": "active", "followers": 1200, "noise": "x"}')
+    html = f"<html><body><p>{payload}</p></body></html>".encode()
+    pages = spark.createDataFrame(pd.DataFrame([
+        ("u1", dt(2024, 1, 1), bytearray(html), html_to_text(html),
+         "en", "g0", "json"),
+    ], columns=["url", "warc_ts", "html", "text", "lang", "group_id",
+                "source"]))
+    out = build_graph(pages, BATCH_TS, check_text=False,
+                      compute_embeddings=False, entity_types=registry)
+    node = out["nodes"].filter(F.col("name") == "Priya Sharma").collect()[0]
+    assert node["attributes"]["status"] == "active"
+    assert node["attributes"]["followers"] == "1200"
+    # undeclared payload keys never leak into attributes
+    assert "noise" not in node["attributes"]

@@ -95,3 +95,25 @@ def test_provenance_merge(outputs):
 def test_previous_instance_chains(outputs):
     out, _ = outputs
     assert out["previous_instance_edges"].count() > 0
+
+
+def test_mixed_episode_sources_flow(outputs):
+    # round-3: EpisodeType variants in the default corpus. The episodes
+    # table carries the source + per-source description (nodes.py:133-149),
+    # message speakers become Person nodes, and a JSON restatement of a text
+    # fact provenance-merges across sources (same norm_fact dedup class).
+    out, _ = outputs
+    eps = {r["source"]: r["source_description"]
+           for r in out["episodes"].select("source", "source_description")
+                                   .distinct().collect()}
+    assert eps == {"text": "web crawl", "message": "chat log",
+                   "json": "structured payload"}
+    # at least one edge's provenance spans a json AND a text episode
+    from pyspark.sql import functions as F
+    src_of = out["episodes"].select(F.col("uuid").alias("ep"), "source")
+    spans = (out["edges"].select("uuid", F.explode("episodes").alias("ep"))
+             .join(src_of, "ep")
+             .groupBy("uuid").agg(F.collect_set("source").alias("srcs"))
+             .where(F.array_contains("srcs", "json")
+                    & F.array_contains("srcs", "text")))
+    assert spans.count() > 0

@@ -132,3 +132,87 @@ def test_should_link_label_authority():
                           dynamic_a=False, dynamic_b=False)
     # default fallback unchanged: built-in classifier vetoes dynamic events
     assert not tc.should_link("Outage 2024-03-05", "Outage 2024-04-09")
+
+
+# ---------------------------------------------------------------------------
+# EpisodeType dispatch: message / json variants (round-3)
+# reference: nodes.py:42-75; node_operations.py:67-124,177-187;
+# prompts/extract_nodes.py:91 (speaker rule), :111-134 (json rules)
+# ---------------------------------------------------------------------------
+
+def test_message_speaker_first():
+    text = ("riya_sharma: Alice Wong works for Glowco since March 5, 2024\n"
+            "Priya Sharma: the Summer Glow Campaign features Glowco")
+    ms = tc.extract_message_mentions(text)
+    # ALL speakers first (rule 1), flagged; Title-Case speakers extracted too
+    assert [(m.name, m.speaker) for m in ms[:2]] == [
+        ("riya_sharma", True), ("Priya Sharma", True)]
+    assert all(m.label == "Person" for m in ms[:2])
+    body = {m.name for m in ms if not m.speaker}
+    assert body == {"Alice Wong", "Glowco", "Summer Glow Campaign"}
+    # triples come from speaker-stripped bodies
+    ts = tc.extract_message_triples(text, datetime(2024, 6, 1))
+    got = {(t.subject, t.predicate, t.object) for t in ts}
+    assert got == {("Alice Wong", "WORKS_FOR", "Glowco"),
+                   ("Summer Glow Campaign", "FEATURES", "Glowco")}
+    assert [t.valid_at for t in ts if t.predicate == "WORKS_FOR"] == \
+        [datetime(2024, 3, 5)]
+
+
+def test_message_speaker_not_duplicated_and_urls_safe():
+    # a speaker also mentioned in a body stays one mention (speaker wins);
+    # a URL-ish body ("see https://x") must not match the speaker rule
+    text = ("bob_w: Priya Sharma likes Glowco\n"
+            "priya_sharma: see https://example.org and more\n"
+            "Priya Sharma: hello")
+    ms = tc.extract_message_mentions(text)
+    names = [m.name for m in ms]
+    assert names.count("Priya Sharma") == 1
+    assert next(m for m in ms if m.name == "Priya Sharma").speaker
+    assert "https" not in " ".join(names)
+
+
+def test_json_entity_and_relation_rules():
+    js = ('{"name": "SummerGlow Campaign", "campaign_id": "SG-11", '
+          '"brand_name": "Glowco", "features": "Glowco", '
+          '"since": "2024-03-05", "launch_date": "2024-03-05", '
+          '"budget": 1200, "status": "active"}')
+    ms = tc.extract_json_mentions(js)
+    # *_id/*_name/relation values are entities; date values and plain
+    # scalar attributes (budget/status) are NOT (rules 1,3,4)
+    assert [m.name for m in ms] == ["SummerGlow Campaign", "SG-11", "Glowco"]
+    ts = tc.extract_json_triples(js, datetime(2024, 6, 1))
+    assert [(t.subject, t.predicate, t.object, t.fact) for t in ts] == [
+        ("SummerGlow Campaign", "FEATURES", "Glowco",
+         "SummerGlow Campaign features Glowco.")]
+    assert ts[0].valid_at == datetime(2024, 3, 5) and ts[0].explicit_dates
+
+
+def test_json_nested_and_malformed():
+    # nested payloads flatten in document order; malformed content degrades
+    # to zero mentions, never an exception
+    js = ('{"campaign": {"name": "Mega Deal Campaign", '
+          '"sponsors": "Nexco"}, "tags": ["x"]}')
+    assert [m.name for m in tc.extract_json_mentions(js)] == \
+        ["Mega Deal Campaign", "Nexco"]
+    ts = tc.extract_json_triples(js, datetime(2024, 6, 1))
+    assert [(t.subject, t.predicate, t.object) for t in ts] == \
+        [("Mega Deal Campaign", "SPONSORS", "Nexco")]
+    assert tc.extract_json_mentions("{not json") == []
+    assert tc.extract_json_triples("[1,2]", datetime(2024, 6, 1)) == []
+
+
+def test_dispatch_matches_per_source():
+    txt = "Priya Sharma likes Glowco"
+    ref = datetime(2024, 6, 1)
+    assert tc.extract_mentions_for("text", txt) == tc.extract_mentions(txt)
+    assert tc.extract_triples_for("text", txt, ref) == tc.extract_triples(txt, ref)
+    msg = "rs: " + txt
+    assert tc.extract_mentions_for("message", msg) == \
+        tc.extract_message_mentions(msg)
+    js = '{"name": "Priya Sharma", "likes": "Glowco"}'
+    assert tc.extract_mentions_for("json", js) == tc.extract_json_mentions(js)
+    # json restatement lands in the SAME dedup class as the text fact
+    jt = tc.extract_triples_for("json", js, ref)[0]
+    tt = tc.extract_triples_for("text", txt, ref)[0]
+    assert tc.normalize_fact(jt.fact) == tc.normalize_fact(tt.fact)
