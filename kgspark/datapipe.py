@@ -110,27 +110,50 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
     def run(batches):
         tok_re = _re.compile(TOKEN_RE)
+        # md5 digests memoized across batches of the task — web text repeats
+        # tokens heavily, so distinct-token hashing is the real cost
+        hash_cache: dict[str, int] = {}
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                acc = np.zeros(64, dtype=np.int64)
+            # pass 1: per-row unique tokens -> batch vocabulary indices
+            vocab: dict[str, int] = {}
+            rows_idx: list[np.ndarray] = []
+            for text in pdf[text_col]:
+                idxs = []
                 # null/NaN text -> empty token set -> signature 0 (one
                 # corrupt row must never kill a 10^5-task job)
                 for tok in set(tok_re.findall(text)) if isinstance(text, str) else ():
-                    # little-endian first-8 md5 bytes == DuckDB's
-                    # md5_number_upper, so the DuckDB oracle can recompute
-                    # the signature bit-for-bit
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "little")
-                    bits = np.fromiter(((h >> j) & 1 for j in range(64)),
-                                       dtype=np.int64, count=64)
-                    acc += 2 * bits - 1
-                sig = 0
-                for j in range(64):
-                    if acc[j] > 0:
-                        sig |= 1 << j
-                # wrap into signed 64-bit (Spark LongType)
-                out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+                    j = vocab.get(tok)
+                    if j is None:
+                        j = vocab[tok] = len(vocab)
+                    idxs.append(j)
+                rows_idx.append(np.asarray(idxs, dtype=np.int64))
+            if vocab:
+                # pass 2: hash each DISTINCT token once (r2 verdict: the old
+                # per-token-per-doc md5 + 64-element fromiter was ~100x the
+                # needed work), then one (vocab x 64) sign matrix via
+                # unpackbits. little-endian first-8 md5 bytes == DuckDB's
+                # md5_number_upper, so the DuckDB oracle recomputes the
+                # signature bit-for-bit; unpackbits(bitorder='little') over
+                # the little-endian uint64 bytes reproduces (h >> j) & 1
+                # for j = 0..63 exactly.
+                hs = np.empty(len(vocab), dtype=np.uint64)
+                for tok, j in vocab.items():
+                    h = hash_cache.get(tok)
+                    if h is None:
+                        h = hash_cache[tok] = int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:8], "little")
+                    hs[j] = h
+                signs = 2 * np.unpackbits(
+                    hs.view(np.uint8).reshape(-1, 8), axis=1,
+                    bitorder="little").astype(np.int32) - 1
+                for i, idxs in enumerate(rows_idx):
+                    if idxs.size:
+                        acc = signs[idxs].sum(axis=0)
+                        sig = int(np.packbits(acc > 0, bitorder="little")
+                                  .view(np.uint64)[0])
+                        # wrap into signed 64-bit (Spark LongType)
+                        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
 
     return docs.select(id_col, text_col).mapInPandas(run, SIMHASH_DDL)
@@ -797,10 +820,18 @@ def decode_images(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Above this many duplicate edges the single-task union-find stops being
+# the right tool (all edges land in ONE executor task) and corpus_dedup
+# auto-switches to distributed min-label propagation. 2M string pairs is
+# ~100s of MB in one task — comfortably local; 10^12-doc corpora are not.
+CORPUS_DEDUP_AUTO_EDGES = 2_000_000
+
+
 def corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n_seeds: int = 4,
                  band_cap: int = DEFAULT_BAND_CAP,
-                 strategy: str = "local") -> DataFrame:
+                 strategy: str = "auto",
+                 auto_edge_threshold: int = CORPUS_DEDUP_AUTO_EDGES) -> DataFrame:
     """(doc_id, canonical_id) for EVERY doc: canonical_id is the minimum
     doc id of the doc's duplicate cluster (exact-hash classes unioned with
     MinHash-LSH near-dup pairs, transitively closed); singletons map to
@@ -813,7 +844,12 @@ def corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
     correct while the EDGE set (already band-capped by LSH, far smaller
     than the corpus) fits one executor. ``'iterative'`` is the 10^12-doc
     path: distributed min-label propagation (kgspark/cc.py), identical
-    output (pinned by test_corpus_dedup_strategies_agree).
+    output (pinned by test_corpus_dedup_strategies_agree). ``'auto'``
+    (default — r2 verdict: the scale-safe path must not be opt-in)
+    materializes the edge set, counts it with one cheap aggregate, and
+    switches local -> iterative past ``auto_edge_threshold``; the
+    materialization is reused by the closure, so auto costs one count job
+    over an already-needed intermediate.
 
     Ids must be non-negative int64 (zero-padded to the full 19-digit
     int64 width so lexicographic min == numeric min at any scale)."""
@@ -827,6 +863,10 @@ def corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
     near = neardup_pairs(docs, id_col, text_col, n_seeds, band_cap)
     edges = (ee.unionByName(near)
              .select(pad("id_a").alias("uuid_a"), pad("id_b").alias("uuid_b")))
+    if strategy == "auto":
+        edges = edges.localCheckpoint()
+        n_edges = edges.count()
+        strategy = "iterative" if n_edges > auto_edge_threshold else "local"
     cc = (connected_components_iterative if strategy == "iterative"
           else connected_components)
     mapping = cc(edges).select(

@@ -307,3 +307,60 @@ def test_ann_index_bucket_column_stays_string(spark, emb, tmp_path):
                                  probe_hamming=17).collect()]
     # full-probe width == exact brute force, now correct at 17 planes
     assert full == exact
+
+
+def test_corpus_dedup_auto_switches_to_iterative(spark, monkeypatch):
+    # r2 verdict: the scale-safe closure must be the DEFAULT past an edge
+    # threshold, not opt-in. Above the (forced-tiny) threshold the auto
+    # strategy must route through the distributed min-label propagation.
+    from kgspark import cc as cc_mod
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["dup text", "dup text", "other", "third"]}),
+        "doc_id long, text string")
+    calls = {"iterative": 0}
+    real = cc_mod.connected_components_iterative
+
+    def spy(*a, **k):
+        calls["iterative"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(cc_mod, "connected_components_iterative", spy)
+    got = {(r["doc_id"], r["canonical_id"])
+           for r in dp.corpus_dedup(docs, strategy="auto",
+                                    auto_edge_threshold=0).collect()}
+    assert calls["iterative"] == 1
+    want = {(r["doc_id"], r["canonical_id"])
+            for r in dp.corpus_dedup(docs, strategy="local").collect()}
+    assert got == want
+    # below the threshold auto stays local
+    dp.corpus_dedup(docs, strategy="auto",
+                    auto_edge_threshold=10**6).collect()
+    assert calls["iterative"] == 1
+
+
+def test_simhash_matches_spec_bit_for_bit(spark):
+    # the vectorized (unique-token hash + unpackbits sign matrix) simhash
+    # must equal the per-token spec definition exactly
+    import hashlib
+    import re
+
+    texts = ["alpha beta gamma", "alpha alpha beta", "solo", "a b c d e f"]
+
+    def spec_simhash(text):
+        acc = [0] * 64
+        for tok in set(re.findall(dp.TOKEN_RE, text)):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                               "little")
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        sig = sum(1 << j for j in range(64) if acc[j] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string")
+    got = {r["id"]: r["simhash"] for r in dp.simhash(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == spec_simhash(t), t
