@@ -500,3 +500,44 @@ def test_attribute_values_filled_from_json_payload(spark):
     assert node["attributes"]["followers"] == "1200"
     # undeclared payload keys never leak into attributes
     assert "noise" not in node["attributes"]
+
+
+def test_update_community_resummarizes(spark):
+    # round-3: incremental attach must REGENERATE the affected community's
+    # name/summary (update_community, community_operations.py:390-448), and
+    # the regenerated row must equal a batch rebuild's row when the batch
+    # LP lands the new node in the same community.
+    edges_old = _toy_graph(spark)
+    labels = communities.label_propagation(communities.adjacency(edges_old))
+    # new node n7 joins the n1-n2-n3 triangle with two edges
+    extra = spark.createDataFrame(pd.DataFrame(
+        [("g", "n7", "n1"), ("g", "n7", "n2")],
+        columns=["group_id", "source_node_uuid", "target_node_uuid"]))
+    edges_new = edges_old.unionByName(extra)
+    nodes = (edges_new.select(F.col("source_node_uuid").alias("uuid"))
+             .union(edges_new.select("target_node_uuid"))
+             .distinct()
+             .select("uuid", F.col("uuid").alias("name"), F.lit("g").alias("group_id")))
+
+    inc = communities.update_community(
+        nodes, labels, communities.adjacency(edges_new))
+    inc_rows = {r["uuid"]: r for r in inc["communities"].collect()}
+    assert inc_rows, "attach must affect at least one community"
+
+    batch_old = {r["uuid"]: r for r in communities.build_communities(
+        nodes, edges_old)["communities"].collect()}
+    batch_new = {r["uuid"]: r for r in communities.build_communities(
+        nodes, edges_new)["communities"].collect()}
+    for cu, row in inc_rows.items():
+        # identical to the batch rebuild's regenerated row...
+        assert row["summary"] == batch_new[cu]["summary"]
+        assert row["name"] == batch_new[cu]["name"]
+        assert row["n_members"] == batch_new[cu]["n_members"]
+        # ...and genuinely re-summarized (n7 now in the member list)
+        assert row["summary"] != batch_old[cu]["summary"]
+        assert "n7" in row["summary"]
+    # updated labels = old labels + the attached node only
+    lbl = {r["uuid"]: r["community_id"] for r in inc["labels"].collect()}
+    old = {r["uuid"]: r["community_id"] for r in labels.collect()}
+    assert set(lbl) == set(old) | {"n7"}
+    assert all(lbl[k] == v for k, v in old.items())
