@@ -127,12 +127,50 @@ def default_cross_scorer(passages, query: str):
     return passages.map(score)
 
 
+def hf_cross_scorer(model_name: str = "BAAI/bge-reranker-base",
+                    batch_size: int = 64):
+    """Real-model scorer factory (bge_reranker_client.py analog): returns a
+    ``scorer(passages, query) -> pd.Series`` backed by a HuggingFace
+    cross-encoder, loaded ONCE PER EXECUTOR PROCESS (module-level cache —
+    the pandas UDF closure is re-entered per batch, the model must not be).
+    The model runtime is not installed in this environment, so construction
+    raises ImportError with the wiring instructions; everything else about
+    the hook (UDF shape, batching, ordering) is exercised by the default
+    lexical scorer.
+
+    Usage::
+
+        scorer = hf_cross_scorer()          # needs sentence-transformers
+        cross_encoder_rerank(cands, "fact", "who runs payments?", scorer)
+    """
+    _cache: dict[str, object] = {}
+
+    def scorer(passages: pd.Series, query: str) -> pd.Series:
+        try:
+            from sentence_transformers import CrossEncoder  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - env-gated
+            raise ImportError(
+                "hf_cross_scorer needs sentence-transformers (pip install "
+                "sentence-transformers); in this sandbox use the default "
+                "lexical scorer instead") from e
+        model = _cache.get("m")
+        if model is None:
+            model = _cache["m"] = CrossEncoder(model_name)
+        pairs = [(query, p or "") for p in passages]
+        return pd.Series(
+            model.predict(pairs, batch_size=batch_size).tolist(),
+            index=passages.index)
+
+    return scorer
+
+
 def cross_encoder_rerank(candidates: DataFrame, text_col: str, query: str,
                          scorer=None, limit: int = 20,
                          id_col: str = "uuid") -> DataFrame:
     """Rerank candidate rows with a (passage, query) → relevance scorer,
     applied as an Arrow-vectorized pandas UDF. ``scorer(passages: pd.Series,
-    query: str) -> pd.Series`` — plug a real cross-encoder client here."""
+    query: str) -> pd.Series`` — plug a real cross-encoder via
+    ``hf_cross_scorer()`` (env-gated) or any compatible callable."""
     fn = scorer or default_cross_scorer
 
     @F.pandas_udf("double")

@@ -541,3 +541,11 @@ def test_update_community_resummarizes(spark):
     old = {r["uuid"]: r["community_id"] for r in labels.collect()}
     assert set(lbl) == set(old) | {"n7"}
     assert all(lbl[k] == v for k, v in old.items())
+
+
+def test_hf_cross_scorer_env_gated():
+    # the real-model factory raises a descriptive ImportError here (no model
+    # runtime in-sandbox) and the hook signature stays pluggable
+    scorer = fulltext.hf_cross_scorer()
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        scorer(pd.Series(["passage"]), "query")
