@@ -205,6 +205,38 @@ def q_kg_priority_boost(spark, sf_dir):
     return boosted.select("uuid", F.round("score", 4).alias("score"))
 
 
+def q_kg_typed_attributes(spark, sf_dir):
+    # attribute VALUES extracted from episode content via registry patterns
+    # (dynamic-Pydantic fill analog, node_operations.py:303-358), with
+    # latest-(warc_ts)-wins override of the schema default; the DuckDB
+    # oracle re-derives the typed entity set AND the per-attribute regexp
+    # extraction + recency rule independently from the same literal pages
+    from datetime import datetime
+
+    import pandas as pd
+
+    from kgspark.entity_types import EntityType, EntityTypeRegistry
+    from kgspark.kg_oracle import KG_ATTR_PAGES
+    from kgspark.pipeline import build_graph, raw_episodes_to_pages
+
+    registry = EntityTypeRegistry(types=(
+        EntityType(name="Metro", suffixes=("City",),
+                   attributes=(("country", "unknown"), ("tier", "metro")),
+                   extract=(("country",
+                             r"{name} is located in ([A-Z][a-z]+)"),)),
+    ))
+    eps = spark.createDataFrame(pd.DataFrame(
+        [(u, t, datetime.fromisoformat(ts), "text", "g0")
+         for u, ts, t in KG_ATTR_PAGES],
+        columns=["name", "content", "reference_time", "source", "group_id"]))
+    out = build_graph(raw_episodes_to_pages(eps), datetime(2025, 1, 1),
+                      check_text=False, compute_embeddings=False,
+                      entity_types=registry)
+    return (out["nodes"].filter(F.array_contains("labels", "Metro"))
+            .select("name", F.explode("attributes").alias("k", "v"))
+            .filter(~F.col("k").isin("entity_type", "mention_count")))
+
+
 def q_kg_message_speakers(spark, sf_dir):
     # EpisodeType dispatch gate (message variant): speaker mentions from the
     # Spark extraction (rule 1 of prompts/extract_nodes.py:91, dispatched at
@@ -805,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_message_speakers": q_kg_message_speakers,
         "kg_json_mentions": q_kg_json_mentions,
         "kg_json_triples": q_kg_json_triples,
+        "kg_typed_attributes": q_kg_typed_attributes,
         "add_triplets": q_add_triplets,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,

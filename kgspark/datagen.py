@@ -185,12 +185,14 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random,
 
 def _episode_source(i: int) -> str:
     """Deterministic EpisodeType mix (nodes.py:42-75): a fifth of the
-    single-fact storyline pages (roles 0/1/2/5) arrive as structured JSON
-    payloads carrying the SAME fact — so cross-source dedup, linking and
-    contradiction handling are exercised — and a third of the misc pages
-    (role 9) arrive as speakered chat logs."""
+    storylines carry structured JSON pages — role 4 (the restatement slot)
+    becomes a JSON twin of role 0's text fact (same norm_fact class →
+    cross-source provenance MERGE), roles 1/2/5 become JSON replacements
+    whose facts contradict/are contradicted by text pages (cross-source
+    bi-temporal pairs) — and a third of the misc pages (role 9) arrive as
+    speakered chat logs."""
     role, sid = i % 10, i // 10
-    if role in (0, 1, 2, 5) and sid % 5 == 2:
+    if role in (4, 1, 2, 5) and sid % 5 == 2:
         return "json"
     if role == 9 and sid % 3 == 1:
         return "message"
@@ -212,7 +214,9 @@ def _json_payload(i: int, n_pages: int) -> str:
     p, b = sid % n_people, sid % n_brands
     story_day = BASE_TS + timedelta(days=(sid % 300))
     obj: dict = {"name": _person(p)}
-    if role == 0:
+    if role == 4:
+        # JSON twin of role 0's text fact: "<P> likes <B>." lands in the
+        # SAME norm_fact dedup class -> cross-source provenance merge
         obj["likes"] = _brand(b)
     elif role == 5:
         obj["dislikes"] = _brand(b)

@@ -5,8 +5,10 @@ deterministic extraction output. To give the driver a HARD correctness
 signal on the flagship (VERDICT r1 item 1), the session's kg build
 materializes exactly the non-SQL-expressible intermediates to parquet:
 
-- ``pages_meta``                      — input page metadata (url, lang) from
-  the synthetic corpus (an INPUT of the DAG, not a computed stage);
+- ``pages_meta``                      — input page metadata (url, group_id,
+  lang, source) PLUS raw content from the synthetic corpus (an INPUT of the
+  DAG, not a computed stage; content feeds the episode-source oracles that
+  re-derive message/json extraction in SQL);
 - ``mentions_raw`` / ``triples_raw``  — the Arrow-UDF extraction stages
   (kgspark/udfs.py wrapping kgspark/textcore.py);
 - ``band_keys``                       — MinHash-LSH band keys (md5 minhash,
@@ -48,6 +50,16 @@ from kgspark.textcore import (
 KG_ORACLE_DIR = "/tmp/kgspark_kg_oracle"
 HYBRID_QUERY = "Priya Sharma"
 BATCH_TS_SQL = "TIMESTAMP '2025-01-01'"
+
+# literal fixture shared by q_kg_typed_attributes (__spark_entry__.py) and
+# its oracle — the p2 restatement (later warc_ts) must OVERRIDE p1's
+# country value; p3's Metro has no match and keeps the schema default
+KG_ATTR_PAGES = [
+    ("p1", "2024-01-01",
+     "Ana Ruiz lives in Quito City.\nQuito City is located in Ecuador."),
+    ("p2", "2024-02-01", "Quito City is located in Peru."),
+    ("p3", "2024-03-01", "Bo Chen lives in Lima City."),
+]
 
 
 def materialize(spark: SparkSession, pages: DataFrame,
@@ -609,4 +621,32 @@ def oracle_queries(d: str = KG_ORACLE_DIR) -> dict[str, str]:
         FROM vals r JOIN subj s USING (url)
         WHERE r.k IN ({rel_keys}) AND {usable('r.v')}
           AND s.subject IS NOT NULL AND s.subject <> '' AND r.v <> s.subject"""
+
+    # --- typed-attribute extraction oracle: independent re-derivation of
+    # the Metro entity set (regexp over the literal pages), the per-
+    # attribute pattern extraction, AND the latest-warc_ts-wins override
+    # (entity_types.extract_attributes + the pipeline aggregate).
+    attr_values = ",\n        ".join(
+        f"('{u}', TIMESTAMP '{ts}', '{t.replace(chr(10), ' ')}')"
+        for u, ts, t in KG_ATTR_PAGES)
+    q["kg_typed_attributes"] = f"""
+        WITH ap(url, warc_ts, text) AS (VALUES
+        {attr_values}),
+        metros AS (
+          SELECT DISTINCT unnest(
+            regexp_extract_all(text, '[A-Z][a-z]+ City')) AS name FROM ap),
+        hits AS (
+          SELECT m.name, p.warc_ts,
+                 regexp_extract(p.text,
+                   m.name || ' is located in ([A-Z][a-z]+)', 1) AS v
+          FROM metros m CROSS JOIN ap p),
+        best AS (
+          SELECT name, v FROM (
+            SELECT name, v, row_number() OVER (
+              PARTITION BY name ORDER BY warc_ts DESC) AS rn
+            FROM hits WHERE v <> '') t WHERE rn = 1)
+        SELECT m.name, 'country' AS k, coalesce(b.v, 'unknown') AS v
+        FROM metros m LEFT JOIN best b USING (name)
+        UNION ALL
+        SELECT name, 'tier', 'metro' FROM metros"""
     return q

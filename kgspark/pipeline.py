@@ -28,6 +28,32 @@ from pyspark.sql import functions as F
 from kgspark import cc, dedup, linking, temporal, udfs
 
 
+def raw_episodes_to_pages(episodes: DataFrame) -> DataFrame:
+    """RawEpisode-shaped input -> the pages schema build_graph consumes
+    (the add_episode_bulk ingestion analog,
+    /root/reference/graphiti_core/bulk_processor.py:53-64 RawEpisode and
+    graphiti.py:189-258 add_episode): callers with pre-extracted content
+    (chat exports, JSON payloads, plain documents) skip the html layer.
+
+    Expected columns: name (unique episode id), content, source
+    (text|message|json), reference_time timestamp, group_id; optional
+    uuid (defaults to name), lang (defaults 'en'). html is the utf-8
+    content bytes so the byte-identity invariant holds trivially
+    (check_text recomputation is a no-op on tag-free content)."""
+    cols = episodes.columns
+    uuid_col = F.col("uuid") if "uuid" in cols else F.col("name")
+    lang_col = F.col("lang") if "lang" in cols else F.lit("en")
+    return episodes.select(
+        uuid_col.alias("url"),
+        F.col("reference_time").alias("warc_ts"),
+        F.encode("content", "UTF-8").alias("html"),
+        F.col("content").alias("text"),
+        lang_col.alias("lang"),
+        "group_id",
+        "source",
+    )
+
+
 def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
                 check_text: bool = True,
                 compute_embeddings: bool = True,

@@ -549,3 +549,32 @@ def test_hf_cross_scorer_env_gated():
     scorer = fulltext.hf_cross_scorer()
     with pytest.raises(ImportError, match="sentence-transformers"):
         scorer(pd.Series(["passage"]), "query")
+
+
+def test_raw_episodes_bulk_ingest(spark):
+    # add_episode_bulk analog (bulk_processor.py:53-64 RawEpisode): callers
+    # with pre-extracted content skip the html layer; EpisodeType flows
+    # through the same dispatch as crawled pages
+    from datetime import datetime as dt
+
+    from kgspark.pipeline import build_graph, raw_episodes_to_pages
+    eps = spark.createDataFrame(pd.DataFrame([
+        ("ep1", "Priya Sharma likes Glowco.", "text", dt(2024, 1, 1), "g0"),
+        ("ep2", "rahul_m: Priya Sharma dislikes Glowco", "message",
+         dt(2024, 6, 1), "g0"),
+        ("ep3", '{"name": "Priya Sharma", "works_for": "Nexco", '
+                '"since": "2024-02-03"}', "json", dt(2024, 3, 1), "g0"),
+    ], columns=["name", "content", "source", "reference_time", "group_id"]))
+    out = build_graph(raw_episodes_to_pages(eps), BATCH_TS, check_text=False,
+                      compute_embeddings=False)
+    edges = {(r["name"], r["invalid_at"] is not None)
+             for r in out["edges"].collect()}
+    # LIKES (2024-01) contradicted by DISLIKES (2024-06); WORKS_FOR from the
+    # json episode carries its explicit since-date
+    assert ("LIKES", True) in edges and ("DISLIKES", False) in edges
+    wf = [r for r in out["edges"].collect() if r["name"] == "WORKS_FOR"]
+    assert wf and wf[0]["valid_at"] == dt(2024, 2, 3)
+    # message speaker became a node
+    assert out["nodes"].filter(F.col("name") == "rahul_m").count() == 1
+    srcs = {r["uuid"]: r["source"] for r in out["episodes"].collect()}
+    assert srcs == {"ep1": "text", "ep2": "message", "ep3": "json"}
