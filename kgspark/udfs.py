@@ -297,14 +297,41 @@ def embed_entities(entities: DataFrame) -> DataFrame:
 
 def entity_band_keys(entities: DataFrame) -> DataFrame:
     """Explode each entity into its MinHash-LSH band keys (blocking keys for
-    the linking self-join). Same function as the oracle -> identical blocks."""
+    the linking self-join). Bit-identical to textcore.minhash_band_keys
+    (spec parity pinned by test_udf_parity::test_band_key_vectorized_parity)
+    but ~8x cheaper: names SHARE character shingles heavily, so each
+    distinct shingle's 96 seed-hashes are computed once per task (cache
+    across batches) as a numpy row; per name the signature is one
+    (shingles x 96) min-reduction instead of 96 x |shingles| md5 calls."""
 
     def run(batches):
+        rows_n, bands = tc.MINHASH_ROWS, tc.MINHASH_BANDS
+        nseed = rows_n * bands
+        shingle_rows: dict[str, np.ndarray] = {}  # cached across batches
+        name_keys: dict[str, list[str]] = {}
+
+        def keys_for(name: str) -> list[str]:
+            got = name_keys.get(name)
+            if got is not None:
+                return got
+            rows = []
+            for s in tc.name_shingles(name):
+                r = shingle_rows.get(s)
+                if r is None:
+                    r = shingle_rows[s] = np.array(
+                        [tc._stable_hash(f"mh{i}|{s}") for i in range(nseed)],
+                        dtype=np.uint64)
+                rows.append(r)
+            mins = np.stack(rows).min(axis=0).reshape(bands, rows_n)
+            got = name_keys[name] = [
+                f"b{b}|" + tc.md5_hex("|".join(str(int(x)) for x in mins[b]))[:16]
+                for b in range(bands)]
+            return got
+
         for pdf in batches:
-            uniq = {n: tc.minhash_band_keys(n) for n in pd.unique(pdf["name"])}
             out = {"group_id": [], "norm_name": [], "band_key": []}
             for gid, nn, name in zip(pdf["group_id"], pdf["norm_name"], pdf["name"]):
-                for k in uniq[name]:
+                for k in keys_for(name):
                     out["group_id"].append(gid)
                     out["norm_name"].append(nn)
                     out["band_key"].append(k)
