@@ -264,10 +264,46 @@ def split_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
 # embedder/client.py:22, search_utils.py:638-676)
 # ---------------------------------------------------------------------------
 
-def _embed_unique(names: pd.Series) -> pd.Series:
+def _embed_factory():
+    """Vectorized hash_embedding with a per-task feature cache: distinct
+    features (tokens + shingles) repeat heavily across names/facts, so each
+    feature's (dim index, sign) is derived once; per name the vector is one
+    numpy scatter-add + exact L2 normalization. BIT-IDENTICAL to
+    textcore.hash_embedding: the accumulated components are small integers
+    (exact in float64 under any summation order) and the squared norm is an
+    integer, so normalization divides by the same double on both paths
+    (pinned by test_udf_parity)."""
+    feat_cache: dict[str, tuple[int, float]] = {}
+    name_cache: dict[str, list[float]] = {}
+    dim = tc.EMBED_DIM
+
+    def embed(n: str) -> list[float]:
+        got = name_cache.get(n)
+        if got is not None:
+            return got
+        feats = tc.normalize_name(n).split() + tc.name_shingles(n)
+        idxs = np.empty(len(feats), dtype=np.int64)
+        sgns = np.empty(len(feats), dtype=np.float64)
+        for j, f in enumerate(feats):
+            c = feat_cache.get(f)
+            if c is None:
+                h = tc._stable_hash(f)
+                c = feat_cache[f] = (h % dim, 1.0 if (h >> 62) & 1 else -1.0)
+            idxs[j], sgns[j] = c
+        vec = np.zeros(dim)
+        np.add.at(vec, idxs, sgns)
+        nrm = np.sqrt(np.sum(vec * vec))
+        got = name_cache[n] = (vec / nrm).tolist() if nrm else vec.tolist()
+        return got
+
+    return embed
+
+
+def _embed_unique(names: pd.Series, embed=None) -> pd.Series:
     """Memoized per-batch embedding: distinct names only (the LLM-diskcache
     analog of llm_client/client.py:116-151 — dedup before expensive work)."""
-    uniq = {n: tc.hash_embedding(n) for n in pd.unique(names)}
+    fn = embed or tc.hash_embedding
+    uniq = {n: fn(n) for n in pd.unique(names)}
     return names.map(uniq)
 
 
@@ -282,14 +318,17 @@ BANDS_DDL = "group_id string, norm_name string, band_key string"
 
 
 def embed_entities(entities: DataFrame) -> DataFrame:
-    """(group_id, norm_name, name) -> name_embedding array<double> (dim 1024)."""
+    """(group_id, norm_name, name) -> name_embedding array<double> (dim 1024).
+    Uses the feature-cached vectorized embedder (caches persist across the
+    task's batches; bit-identical to textcore.hash_embedding)."""
 
     def run(batches):
+        embed = _embed_factory()
         for pdf in batches:
             yield pd.DataFrame({
                 "group_id": pdf["group_id"],
                 "norm_name": pdf["norm_name"],
-                "name_embedding": _embed_unique(pdf["name"]),
+                "name_embedding": _embed_unique(pdf["name"], embed),
             })
 
     return entities.select("group_id", "norm_name", "name").mapInPandas(run, EMBED_DDL)

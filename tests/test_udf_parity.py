@@ -100,3 +100,15 @@ def test_extract_page_fusion_parity_edge_texts():
         assert [(m.name, m.label, m.start) for m in fused_m] == \
                [(m.name, m.label, m.start) for m in tc.extract_mentions(text)]
         assert fused_t == tc.extract_triples(text, ref)
+
+
+def test_embed_factory_bit_identical():
+    # the vectorized embedder must be BIT-identical to the spec function —
+    # linking thresholds compare stored doubles exactly, so 1e-6-close is
+    # not good enough for borderline pairs
+    from kgspark.udfs import _embed_factory
+    embed = _embed_factory()
+    for n in NAMES + ["Priya Sharma works for Glowco since March 5, 2024."]:
+        assert embed(n) == tc.hash_embedding(n), n
+    # cache path: second call returns the same object/values
+    assert embed(NAMES[0]) == tc.hash_embedding(NAMES[0])
