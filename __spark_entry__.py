@@ -180,6 +180,21 @@ def q_kg_hybrid_search(spark, sf_dir):
     return out.select("uuid", F.round("rrf_score", 8).alias("rrf_score"))
 
 
+def q_kg_hybrid_node_search(spark, sf_dir):
+    # batch multi-query node lookup (hybrid_node_search,
+    # search_utils.py:564-631): 2 bm25 legs + 2 cosine legs, each capped at
+    # 2*limit, RRF-fused, deduped by uuid, NO global limit; the DuckDB
+    # oracle recomputes all four legs + fusion from the materialized
+    # node/embedding tables
+    from kgspark import search as ks
+    from kgspark.kg_oracle import HNS_LIMIT, HNS_QUERIES
+    from kgspark.textcore import hash_embedding
+    out = ks.hybrid_node_search(
+        _kg(spark)["nodes"], HNS_QUERIES,
+        [hash_embedding(q) for q in HNS_QUERIES], limit=HNS_LIMIT)
+    return out.select("uuid", F.round("rrf_score", 8).alias("rrf_score"))
+
+
 def q_kg_provenance_sort(spark, sf_dir):
     # final edge ordering by provenance count (episode_mention_sort,
     # search.py:356-358); the oracle recomputes the merged provenance SET
@@ -832,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": q_kg_bfs,
         "kg_node_distance": q_kg_node_distance,
         "kg_hybrid_search": q_kg_hybrid_search,
+        "kg_hybrid_node_search": q_kg_hybrid_node_search,
         "kg_provenance_sort": q_kg_provenance_sort,
         "kg_priority_boost": q_kg_priority_boost,
         "kg_message_speakers": q_kg_message_speakers,

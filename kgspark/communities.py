@@ -165,10 +165,17 @@ def community_rows(members: DataFrame, nodes: DataFrame) -> dict[str, DataFrame]
     return {"communities": named, "community_members": member_edges}
 
 
-def build_communities(nodes: DataFrame, edges: DataFrame) -> dict[str, DataFrame]:
+def build_communities(nodes: DataFrame, edges: DataFrame,
+                      group_ids: list[str] | None = None) -> dict[str, DataFrame]:
     """Returns {"communities": CommunityNode table,
     "community_members": HAS_MEMBER edge table}. Only clusters with more
-    than one member materialize (community_operations.py:139-144)."""
+    than one member materialize (community_operations.py:139-144).
+    ``group_ids`` restricts the build to the listed groups
+    (Graphiti.build_communities, graphiti.py:439-447) — a partition-pruned
+    filter, so at scale only those groups' partitions are scanned."""
+    if group_ids:
+        nodes = nodes.filter(F.col("group_id").isin(group_ids))
+        edges = edges.filter(F.col("group_id").isin(group_ids))
     labels = label_propagation(adjacency(edges))
     return community_rows(_multi_member_clusters(labels), nodes)
 

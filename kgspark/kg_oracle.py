@@ -49,6 +49,11 @@ from kgspark.textcore import (
 
 KG_ORACLE_DIR = "/tmp/kgspark_kg_oracle"
 HYBRID_QUERY = "Priya Sharma"
+# hybrid_node_search (search_utils.py:564-631) driver fixture: each string
+# is BOTH a fulltext query and (via hash_embedding) a similarity query, so
+# the batch runs 2 bm25 legs + 2 cosine legs fused by RRF
+HNS_QUERIES = ["Priya Sharma", "Glowco"]
+HNS_LIMIT = 10
 BATCH_TS_SQL = "TIMESTAMP '2025-01-01'"
 
 # literal fixture shared by q_kg_typed_attributes (__spark_entry__.py) and
@@ -113,6 +118,11 @@ def materialize(spark: SparkSession, pages: DataFrame,
         "embeddings": emb.toPandas(),
         "lp_labels": lp.toPandas(),
         "query_emb": pd.DataFrame({"embedding": [hash_embedding(HYBRID_QUERY)]}),
+        # batch-lookup queries (hybrid_node_search twin): one embedding per
+        # query, keyed by position
+        "hns_query_emb": pd.DataFrame({
+            "qi": list(range(len(HNS_QUERIES))),
+            "embedding": [hash_embedding(q) for q in HNS_QUERIES]}),
     }
     for name, pdf in frames.items():
         tmp = os.path.join(out_dir, f".{name}.tmp.parquet")
@@ -567,6 +577,63 @@ def oracle_queries(d: str = KG_ORACLE_DIR) -> dict[str, str]:
         SELECT uuid, round(sum(1.0 / (rank + 1)), 8) AS rrf_score
         FROM ranked GROUP BY uuid
         ORDER BY rrf_score DESC, uuid LIMIT 20"""
+
+    # hybrid_node_search twin (search_utils.py:564-631; search.py
+    # hybrid_node_search): one bm25 leg per query + one cosine leg per
+    # embedding, EACH capped at 2*limit on the RAW score, rounded to 9
+    # before rank, RRF-fused with NO global limit (the reference returns
+    # every deduped hit — tests/utils/search/search_utils_test.py:90-130)
+    from kgspark.fulltext import py_tokens
+    hns_parts, hns_ranked = [], []
+    for i, hq in enumerate(HNS_QUERIES):
+        toks = ", ".join(f"'{t}'" for t in py_tokens(hq)[:32])
+        hns_parts.append(f"""
+        ntf{i} AS (SELECT uuid, tok, count(*)::DOUBLE AS tf FROM ntoks
+                   WHERE tok IN ({toks}) GROUP BY uuid, tok),
+        ndf{i} AS (SELECT tok, count(DISTINCT uuid)::DOUBLE AS dfreq
+                   FROM ntf{i} GROUP BY tok),
+        ft{i} AS (SELECT uuid, round(score, 9) AS score FROM (
+                    SELECT uuid, score FROM (
+                      SELECT t.uuid,
+                             sum(ln(1 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                                 * t.tf / (t.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * l.dlen / s.avgdl))) AS score
+                      FROM ntf{i} t JOIN ndf{i} d USING (tok)
+                           JOIN ndl l USING (uuid), nst s
+                      GROUP BY t.uuid) raw
+                    WHERE score > 0
+                    ORDER BY score DESC, uuid LIMIT {2 * HNS_LIMIT}) t),
+        sim{i} AS (SELECT uuid, round(score, 9) AS score FROM (
+                     SELECT uuid, score FROM (
+                       SELECT n.uuid, list_cosine_similarity(n.v, q.qv) AS score
+                       FROM nemb n,
+                            (SELECT embedding::DOUBLE[] AS qv
+                             FROM '{d}/hns_query_emb.parquet'
+                             WHERE qi = {i}) q) raw
+                     WHERE score > 0.6
+                     ORDER BY score DESC, uuid LIMIT {2 * HNS_LIMIT}) t)""")
+        for leg in ("ft", "sim"):
+            hns_ranked.append(
+                f"""          SELECT uuid,
+                 row_number() OVER (ORDER BY score DESC, uuid) AS rank
+          FROM {leg}{i}""")
+    q["kg_hybrid_node_search"] = pre + f"""
+        , nemb AS (
+          SELECT n.uuid, n.name, e.name_embedding::DOUBLE[] AS v
+          FROM nodes n JOIN emb e
+            ON e.group_id = n.group_id AND e.norm_name = n.rep_norm),
+        ntoks AS (SELECT uuid, unnest(list_filter(
+                    string_split_regex(lower(name), '[^a-z0-9]+'),
+                    t -> t <> '')) AS tok
+                  FROM nemb),
+        ndl AS (SELECT uuid, count(*)::DOUBLE AS dlen FROM ntoks GROUP BY uuid),
+        nst AS (SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avgdl FROM ndl),
+        {",".join(hns_parts)},
+        ranked AS (
+{chr(10).join("          UNION ALL" + chr(10) + p if j else p
+              for j, p in enumerate(hns_ranked))})
+        SELECT uuid, round(sum(1.0 / (rank + 1)), 8) AS rrf_score
+        FROM ranked GROUP BY uuid"""
 
     # --- EpisodeType dispatch oracles: re-derive the message/json
     # extraction rules from RAW page content (textcore.extract_message_*/

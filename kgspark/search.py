@@ -130,9 +130,11 @@ def bfs_nodes(edges: DataFrame, origin_uuids: list[str],
 # rerankers
 # ---------------------------------------------------------------------------
 
-def rrf(ranked: list[DataFrame], id_col: str = "uuid", limit: int = 20) -> DataFrame:
+def rrf(ranked: list[DataFrame], id_col: str = "uuid",
+        limit: int | None = 20) -> DataFrame:
     """Reciprocal-rank fusion (search_utils.py:721-732): each input DF must
-    already be ordered; score[uuid] += 1/(rank+1)."""
+    already be ordered; score[uuid] += 1/(rank+1). ``limit=None`` keeps
+    every fused row (hybrid_node_search semantics)."""
     parts = []
     for df in ranked:
         w = Window.orderBy(F.desc("score"), id_col) if "score" in df.columns \
@@ -142,10 +144,10 @@ def rrf(ranked: list[DataFrame], id_col: str = "uuid", limit: int = 20) -> DataF
     u = parts[0]
     for p in parts[1:]:
         u = u.union(p)
-    return (u.groupBy(id_col)
-            .agg(F.sum(1.0 / (F.col("rank") + 1)).alias("rrf_score"))
-            .orderBy(F.desc("rrf_score"), id_col)
-            .limit(limit))
+    out = (u.groupBy(id_col)
+           .agg(F.sum(1.0 / (F.col("rank") + 1)).alias("rrf_score"))
+           .orderBy(F.desc("rrf_score"), id_col))
+    return out if limit is None else out.limit(limit)
 
 
 def mention_count_rerank(candidates: DataFrame, mentions: DataFrame,
@@ -307,3 +309,45 @@ def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
         return node_distance_rerank(merged.select("uuid"), edges,
                                     config.center_uuid, config.limit)
     raise ValueError(config.reranker)
+
+
+RELEVANT_SCHEMA_LIMIT = 10  # search_utils.py:49
+
+
+def hybrid_node_search(nodes: DataFrame, queries: list[str],
+                       embeddings: list[list[float]] | None = None,
+                       group_ids: list[str] | None = None,
+                       limit: int = RELEVANT_SCHEMA_LIMIT,
+                       text_col: str = "name",
+                       emb_col: str = "name_embedding") -> DataFrame:
+    """Batch hybrid node lookup (hybrid_node_search, search_utils.py:564-631;
+    semantics pinned by tests/utils/search/search_utils_test.py:11-170):
+    one fulltext search per query PLUS one similarity search per embedding —
+    each capped at ``2 * limit`` exactly as :614-618 does — fused with RRF
+    and deduplicated by uuid. NO global limit is applied afterwards: the
+    reference returns every deduped hit (its limit test asserts 4 results
+    at limit=1), and an empty ``embeddings`` list means fulltext only.
+
+    Returns full node rows ordered by fused rank (``rrf_score`` column
+    appended).
+
+    Scale shape: each per-query search is an independent top-k subtree over
+    the nodes table, unioned by Catalyst — right for the small driver-side
+    batches this API serves (dedup-resolution context lookups, <10 queries).
+    Corpus-scale candidate generation goes through the LSH/IVF indexes in
+    kgspark/datapipe.py instead.
+    """
+    ranked = [bm25_search(nodes, text_col, q, 2 * limit, group_ids)
+              for q in queries]
+    ranked += [similarity_search(nodes, emb_col, e, 2 * limit,
+                                 group_ids=group_ids)
+               for e in (embeddings or [])]
+    if not ranked:
+        return nodes.withColumn("rrf_score", F.lit(0.0)).limit(0)
+    # keep each method's score so rrf ranks by search order, not by uuid;
+    # round before rank assignment for cross-engine reproducibility (same
+    # rationale as hybrid_search — the top-k cut above is on RAW score)
+    fused = rrf([r.select("uuid", F.round("score", 9).alias("score"))
+                 for r in ranked], limit=None)
+    return (fused.join(nodes, "uuid")
+            .orderBy(F.desc("rrf_score"), "uuid"))

@@ -669,8 +669,34 @@ def extract_json_triples(text: str, ref_ts: datetime) -> list[Triple]:
     return triples
 
 
+# LLMClient._clean_input port (llm_client/client.py:63-83; contract pinned
+# by tests/llm_client/test_client.py:28-60): the reference cleans episode
+# content before any extraction prompt sees it, so the batch extractor
+# applies the same cleaning at its dispatch entry. Keeps \n\r\t, strips
+# other C0 controls (ord < 32), zero-width/invisible chars, and invalid
+# Unicode (lone surrogates). DEL (0x7f) is kept — the reference's
+# ``ord(char) >= 32`` rule keeps it too.
+_ZERO_WIDTH_RE = re.compile("[\u200b\u200c\u200d\ufeff\u2060]")
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def clean_input(text: str) -> str:
+    """Strip invalid Unicode, zero-width and control characters
+    (LLMClient._clean_input, llm_client/client.py:63-83)."""
+    try:
+        text.encode("utf-8")
+    except UnicodeEncodeError:
+        text = text.encode("utf-8", errors="ignore").decode("utf-8")
+    if _ZERO_WIDTH_RE.search(text):
+        text = _ZERO_WIDTH_RE.sub("", text)
+    if _CTRL_RE.search(text):
+        text = _CTRL_RE.sub("", text)
+    return text
+
+
 def extract_mentions_for(source: str, text: str, classifier=None) -> list[Mention]:
     """EpisodeType dispatch (node_operations.py:177-187)."""
+    text = clean_input(text)
     if source == "message":
         return extract_message_mentions(text, classifier)
     if source == "json":
@@ -679,6 +705,7 @@ def extract_mentions_for(source: str, text: str, classifier=None) -> list[Mentio
 
 
 def extract_triples_for(source: str, text: str, ref_ts: datetime) -> list[Triple]:
+    text = clean_input(text)
     if source == "message":
         return extract_message_triples(text, ref_ts)
     if source == "json":

@@ -578,3 +578,34 @@ def test_raw_episodes_bulk_ingest(spark):
     assert out["nodes"].filter(F.col("name") == "rahul_m").count() == 1
     srcs = {r["uuid"]: r["source"] for r in out["episodes"].collect()}
     assert srcs == {"ep1": "text", "ep2": "message", "ep3": "json"}
+
+
+def test_cross_encoder_rank_contract(spark):
+    """Port of the reference CrossEncoderClient.rank contract tests
+    (tests/cross_encoder/test_bge_reranker_client.py:31-83): full-length
+    output, float scores, descending order; empty input -> empty; single
+    passage -> that passage with a float score."""
+    from kgspark.fulltext import cross_encoder_rerank
+    query = "What is the capital of France?"
+    passages = [
+        ("1", "Paris is the capital and most populous city of France."),
+        ("2", "London is the capital city of England and the United Kingdom."),
+        ("3", "Berlin is the capital and largest city of Germany."),
+    ]
+    df = spark.createDataFrame(passages, "uuid string, fact string")
+    got = cross_encoder_rerank(df, "fact", query, id_col="uuid").collect()
+    assert len(got) == len(passages)
+    scores = [r["ce_score"] for r in got]
+    assert all(isinstance(s, float) for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # the France passage shares the most query tokens -> ranks first
+    assert got[0]["uuid"] == "1"
+    # empty input
+    empty = df.limit(0)
+    assert cross_encoder_rerank(empty, "fact", "Empty test").collect() == []
+    # single passage
+    one = spark.createDataFrame([("9", "Single test passage")],
+                                "uuid string, fact string")
+    res = cross_encoder_rerank(one, "fact", "Test query").collect()
+    assert len(res) == 1 and res[0]["uuid"] == "9"
+    assert isinstance(res[0]["ce_score"], float)

@@ -216,3 +216,25 @@ def test_dispatch_matches_per_source():
     jt = tc.extract_triples_for("json", js, ref)[0]
     tt = tc.extract_triples_for("text", txt, ref)[0]
     assert tc.normalize_fact(jt.fact) == tc.normalize_fact(tt.fact)
+
+
+def test_clean_input_reference_cases():
+    """Exact port of tests/llm_client/test_client.py:28-60 — the
+    LLMClient._clean_input contract (llm_client/client.py:63-83), applied
+    here at the extraction dispatch entry."""
+    cases = [
+        ("Hello World", "Hello World"),                 # unchanged
+        ("Hello\x00World", "HelloWorld"),               # control chars
+        ("Hello\nWorld\tTest\r", "Hello\nWorld\tTest\r"),  # \n\t\r kept
+        ("Hello\udcdeWorld", "HelloWorld"),             # invalid Unicode
+        ("Hello​World", "HelloWorld"),             # zero-width
+        ("Test﻿Word", "TestWord"),                 # BOM
+        ("Hello\x00​\nWorld\udcde", "Hello\nWorld"),  # combined
+        ("", ""),
+    ]
+    for raw, want in cases:
+        assert tc.clean_input(raw) == want, repr(raw)
+    # extraction sees cleaned text: a zero-width char inside a name must
+    # not split the mention
+    ms = tc.extract_mentions_for("text", "Priya​ Sharma likes Glowco")
+    assert any(m.name == "Priya Sharma" for m in ms)
