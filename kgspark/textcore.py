@@ -418,6 +418,9 @@ def extract_page(text: str, ref_ts: datetime,
     """
     if classifier is None:
         classifier = classify_name
+    # same entry cleaning as the dispatch pair (clean_input below) — keeps
+    # the bit-identity contract when the raw text carries control chars
+    text = clean_input(text)
     mentions: list[Mention] = []
     triples: list[Triple] = []
     seen: set[str] = set()

@@ -103,8 +103,10 @@ def extract_mentions(pages: DataFrame, entity_types=None) -> DataFrame:
                 ms = tc.extract_mentions_for(src, text, classifier)
                 # attribute VALUES from content (node_operations.py:303-358
                 # analog) — computed once per page, only when the registry
-                # declares extraction work
-                amap = (extract_attributes(entity_types, src, text, ms)
+                # declares extraction work; sees the SAME cleaned text as
+                # the extractors
+                amap = (extract_attributes(entity_types, src,
+                                           tc.clean_input(text), ms)
                         if extract_attrs else {})
                 for m in ms:
                     out["url"].append(url)
@@ -224,7 +226,8 @@ def extract_page_events(pages: DataFrame, entity_types=None) -> DataFrame:
                     ms = tc.extract_mentions_for(src, text, classifier)
                     tps = tc.extract_triples_for(src, text,
                                                  ts.to_pydatetime())
-                amap = (extract_attributes(entity_types, src, text, ms)
+                amap = (extract_attributes(entity_types, src,
+                                           tc.clean_input(text), ms)
                         if extract_attrs else {})
                 for m in ms:
                     a = amap.get(m.name)

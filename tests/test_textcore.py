@@ -236,5 +236,12 @@ def test_clean_input_reference_cases():
         assert tc.clean_input(raw) == want, repr(raw)
     # extraction sees cleaned text: a zero-width char inside a name must
     # not split the mention
-    ms = tc.extract_mentions_for("text", "Priya​ Sharma likes Glowco")
+    dirty = "Priya​ Sharma likes Glowco"
+    ms = tc.extract_mentions_for("text", dirty)
     assert any(m.name == "Priya Sharma" for m in ms)
+    # the fused single-scan extractor cleans at entry too (bit-identity
+    # with the spec pair holds on dirty text)
+    from datetime import datetime
+    ref = datetime(2024, 6, 1)
+    fm, ft = tc.extract_page(dirty, ref)
+    assert fm == ms and ft == tc.extract_triples_for("text", dirty, ref)
