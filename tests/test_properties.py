@@ -72,6 +72,21 @@ def test_hash_embedding_unit_norm(s):
     assert abs(n - 1.0) < 1e-9 or n == 0.0
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(), max_size=400))
+def test_clean_input_idempotent_and_invariant(s):
+    # total (never raises), idempotent, and the output carries none of the
+    # stripped classes while \n\r\t survive (llm_client/client.py:63-83)
+    out = textcore.clean_input(s)
+    assert textcore.clean_input(out) == out
+    assert not any(ch in out for ch in "\u200b\u200c\u200d\ufeff\u2060")
+    assert all(ord(ch) >= 32 or ch in "\n\r\t" for ch in out)
+    out.encode("utf-8")  # always valid unicode
+    # kept characters appear in input order (subsequence property)
+    it = iter(s)
+    assert all(any(c == x for x in it) for c in out)
+
+
 def test_driver_contract_consistency():
     # every query has an oracle and vice versa; keys are stable identifiers
     import importlib.util
