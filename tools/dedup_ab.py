@@ -4,7 +4,10 @@ Materializes the canonical-triples input (the dedup input in the real DAG)
 once to parquet, then times each variant over the same input several times.
 
 Usage: [taskset -c 0-7] python tools/dedup_ab.py <pages> <cpus> <variant>[,variant...]
-Variants: ``salted`` (two-phase, n_salts=16) | ``nosalt`` (single-phase),
+Variants: ``salted`` (two-phase, n_salts=16) | ``nosalt`` (single-phase) |
+``uuidkey`` (single-phase but grouped on the 16-byte md5 class uuid instead
+of the 5 wide string key columns, which ride along as cheap ``first``
+aggregates — narrower grouping hash/compare state for the same output),
 each optionally prefixed ``lowfb-`` to restore the 128-key
 ObjectHashAggregate sort-fallback threshold that kgspark/session.py raises
 (e.g. ``salted,nosalt,lowfb-nosalt``).
@@ -102,8 +105,38 @@ def main() -> None:
             run(name, lambda: dedup.dedup_edges(triples, n_salts=16))
         elif v == "nosalt":
             run(name, lambda: dedup.dedup_edges(triples, n_salts=0))
+        elif v == "uuidkey":
+            run(name, lambda: _dedup_uuidkey(triples))
         else:
             raise SystemExit(f"unknown variant {v}")
+
+
+def _dedup_uuidkey(triples):
+    """dedup_edges single-phase plan, but grouped on the md5 class uuid.
+
+    The 5 KEY columns are functionally determined by the uuid, so they ride
+    along as ``first`` aggregates (no per-row comparisons) while grouping
+    hashes/compares one 32-char column instead of five (~150 chars incl. the
+    free-text norm_fact)."""
+    from pyspark.sql import functions as F  # noqa: N812
+    from kgspark.dedup import KEY, MAX_PROVENANCE, _class_aggs
+
+    base = (
+        triples.filter(F.col("src_uuid") != F.col("dst_uuid"))
+        .withColumn("uuid", F.md5(F.concat_ws(
+            "|", F.lit("edge"), F.col("group_id"), F.col("src_uuid"),
+            F.col("predicate"), F.col("dst_uuid"), F.col("norm_fact"))))
+    )
+    classes = base.groupBy("uuid").agg(
+        *[F.first(k).alias(k) for k in KEY], *_class_aggs(MAX_PROVENANCE))
+    return classes.select(
+        *KEY,
+        F.col("first_occ.fact").alias("fact"),
+        "episodes", "created_at", "n_occurrences",
+        F.coalesce(F.col("last_valid.valid_at_explicit"),
+                   F.col("first_occ.warc_ts")).alias("valid_at"),
+        F.col("last_invalid.invalid_at_explicit").alias("invalid_at_explicit"),
+        "uuid")
 
 
 if __name__ == "__main__":
