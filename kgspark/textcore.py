@@ -320,13 +320,16 @@ def _parse_date_token(tok: str) -> datetime | None:
     return None
 
 
-def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datetime | None, bool]:
-    """Date-phrase parser (deterministic analog of extract_edge_dates,
-    temporal_operations.py:32-68; rules prompts/extract_edge_dates.py:77-87).
+def parse_dates_structural(
+        sentence: str) -> tuple[datetime | None, datetime | None, bool, int | None]:
+    """``parse_dates`` with the reference-timestamp dependence factored out.
 
-    Returns (valid_at, invalid_at, explicit). Present-tense default
-    (valid_at = reference timestamp) is applied by the caller via
-    ``coalesce(valid_at, warc_ts)`` so the default is visible in the plan.
+    Returns (valid, invalid, explicit, rel_days): everything except
+    ``rel_days`` is a pure function of the sentence text, and ``rel_days``
+    (None, or the day delta of a matched relative phrase) is what
+    ``parse_dates`` resolves against ``ref_ts``. The split is what lets the
+    Arrow UDFs cache per-sentence extraction across pages with different
+    crawl timestamps (web boilerplate repeats sentences corpus-wide).
     """
     valid: datetime | None = None
     invalid: datetime | None = None
@@ -340,7 +343,7 @@ def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datet
             v = _parse_date_token(m.group(1))
             inv = _parse_date_token(m.group(2))
             if v is not None or inv is not None:
-                return v, inv, True
+                return v, inv, True, None
         # try 'since' then 'on' — a since-match whose token is
         # calendar-invalid must not shadow a parseable on-date (same
         # fall-through rule as the from-to branch above)
@@ -355,44 +358,92 @@ def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datet
         if m:
             invalid = _parse_date_token(m.group(1))
             explicit = explicit or invalid is not None
+    rel_days: int | None = None
     if valid is None:
         m = _REL_RE.search(sentence)
         if m:
-            day0 = datetime(ref_ts.year, ref_ts.month, ref_ts.day)
-            delta = {"yesterday": 1, "last week": 7, "last month": 30}[m.group(1)]
-            valid = day0 - timedelta(days=delta)
-            explicit = True
+            rel_days = {"yesterday": 1, "last week": 7, "last month": 30}[m.group(1)]
+    return valid, invalid, explicit, rel_days
+
+
+def _apply_ref(ds: tuple[datetime | None, datetime | None, bool, int | None],
+               ref_ts: datetime) -> tuple[datetime | None, datetime | None, bool]:
+    """Resolve a structural date parse against the reference timestamp."""
+    valid, invalid, explicit, rel_days = ds
+    if rel_days is not None:
+        day0 = datetime(ref_ts.year, ref_ts.month, ref_ts.day)
+        valid = day0 - timedelta(days=rel_days)
+        explicit = True
     return valid, invalid, explicit
 
 
-def extract_triples(text: str, ref_ts: datetime) -> list[Triple]:
+def parse_dates(sentence: str, ref_ts: datetime) -> tuple[datetime | None, datetime | None, bool]:
+    """Date-phrase parser (deterministic analog of extract_edge_dates,
+    temporal_operations.py:32-68; rules prompts/extract_edge_dates.py:77-87).
+
+    Returns (valid_at, invalid_at, explicit). Present-tense default
+    (valid_at = reference timestamp) is applied by the caller via
+    ``coalesce(valid_at, warc_ts)`` so the default is visible in the plan.
+    """
+    return _apply_ref(parse_dates_structural(sentence), ref_ts)
+
+
+def sentence_protos(sent: str) -> tuple[list[tuple[str, str, str, str]], tuple | None]:
+    """ref_ts-independent extraction for ONE sentence: the (subject,
+    PREDICATE, object, fact) protos plus the structural date parse
+    (``parse_dates_structural`` of the body; None when no triple needed it).
+
+    Pure function of the sentence text — the unit the Arrow UDFs memoize
+    across pages (web boilerplate repeats sentences corpus-wide; resolving
+    ``ref_ts`` per page is just ``_apply_ref``)."""
+    protos: list[tuple[str, str, str, str]] = []
+    ds: tuple | None = None
+    body = _SPEAKER_RE.sub("", sent)
+    sent_mentions = extract_mentions(body)
+    if len(sent_mentions) < 2:
+        return protos, ds
+    by_start = sorted(sent_mentions, key=lambda m: m.start)
+    for a, b in zip(by_start, by_start[1:]):
+        between = body[a.start + len(a.name): b.start].strip()
+        between = _LEADING_THE_RE.sub("", between)
+        pred = _VERB_MAP.get(between)
+        if pred is None:
+            continue
+        if a.name == b.name:
+            continue  # self-loop drop (bulk_utils.py:385-386)
+        if ds is None:
+            # structural parse is a function of body only — once per sentence
+            ds = parse_dates_structural(body)
+        protos.append((a.name, pred, b.name, sent.strip() + "."))
+    return protos, ds
+
+
+def extract_triples(text: str, ref_ts: datetime, _cache: dict | None = None) -> list[Triple]:
     """Extract (subject, PREDICATE, object, fact) triples from one page.
 
     Only emits facts between detected mentions (rule 1 of
     prompts/extract_edges.py:79-82); relation types in CAPS (rule 3);
     the fact is the full sentence (rule 4).
+
+    ``_cache``: optional sentence -> ``sentence_protos`` memo, shared by the
+    caller across pages (udfs.extract_triples passes one per Arrow task).
+    Safe because the memoized unit is ref_ts-independent by construction.
     """
     triples: list[Triple] = []
     for sent in split_sentences(text):
-        body = _SPEAKER_RE.sub("", sent)
-        sent_mentions = extract_mentions(body)
-        if len(sent_mentions) < 2:
+        if _cache is None:
+            protos, ds = sentence_protos(sent)
+        else:
+            hit = _cache.get(sent)
+            if hit is None:
+                hit = _cache[sent] = sentence_protos(sent)
+            protos, ds = hit
+        if not protos:
             continue
-        by_start = sorted(sent_mentions, key=lambda m: m.start)
-        dates = None  # parse_dates is a function of body only — once per sentence
-        for a, b in zip(by_start, by_start[1:]):
-            between = body[a.start + len(a.name): b.start].strip()
-            between = _LEADING_THE_RE.sub("", between)
-            pred = _VERB_MAP.get(between)
-            if pred is None:
-                continue
-            if a.name == b.name:
-                continue  # self-loop drop (bulk_utils.py:385-386)
-            if dates is None:
-                dates = parse_dates(body, ref_ts)
-            valid_at, invalid_at, explicit = dates
+        valid_at, invalid_at, explicit = _apply_ref(ds, ref_ts)
+        for subj, pred, obj, fact in protos:
             triples.append(
-                Triple(a.name, pred, b.name, sent.strip() + ".", valid_at, invalid_at, explicit)
+                Triple(subj, pred, obj, fact, valid_at, invalid_at, explicit)
             )
     return triples
 
@@ -543,13 +594,14 @@ def extract_message_mentions(text: str, classifier=None) -> list[Mention]:
     return mentions
 
 
-def extract_message_triples(text: str, ref_ts: datetime) -> list[Triple]:
+def extract_message_triples(text: str, ref_ts: datetime,
+                            _cache: dict | None = None) -> list[Triple]:
     """Triple extraction over message bodies (speaker prefix stripped per
     line — the reference's edge pass runs on the same content the node pass
     saw, edge_operations.py:73-148)."""
     triples: list[Triple] = []
     for _spk, body in split_messages(text):
-        triples.extend(extract_triples(body, ref_ts))
+        triples.extend(extract_triples(body, ref_ts, _cache))
     return triples
 
 
@@ -707,13 +759,14 @@ def extract_mentions_for(source: str, text: str, classifier=None) -> list[Mentio
     return extract_mentions(text, classifier)
 
 
-def extract_triples_for(source: str, text: str, ref_ts: datetime) -> list[Triple]:
+def extract_triples_for(source: str, text: str, ref_ts: datetime,
+                        _cache: dict | None = None) -> list[Triple]:
     text = clean_input(text)
     if source == "message":
-        return extract_message_triples(text, ref_ts)
+        return extract_message_triples(text, ref_ts, _cache)
     if source == "json":
         return extract_json_triples(text, ref_ts)
-    return extract_triples(text, ref_ts)
+    return extract_triples(text, ref_ts, _cache)
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ Python UDFs anywhere in the pipeline (BASELINE.json input_hint).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -153,13 +154,20 @@ def extract_triples(pages: DataFrame) -> DataFrame:
         # syndication) — memoizing per distinct fact cuts the dominant
         # per-triple cost ~dup-ratio-fold (measured 7x on the bench corpus)
         normf = _memoized(tc.normalize_fact)
+        # sentence -> sentence_protos memo (ref_ts-independent by
+        # construction — textcore.parse_dates_structural): repeated
+        # boilerplate sentences skip the regex scan entirely. Same
+        # lifetime/bound as _memoized: one Arrow task. KGSPARK_SENT_CACHE=0
+        # disables it (A/B knob).
+        sent_cache: dict | None = (
+            {} if os.environ.get("KGSPARK_SENT_CACHE", "1") == "1" else None)
         for pdf in batches:
             rows = []
             for url, gid, ts, text, src in zip(pdf["url"], pdf["group_id"],
                                                pdf["warc_ts"], pdf["text"],
                                                pdf["source"]):
                 ref = ts.to_pydatetime()
-                for t in tc.extract_triples_for(src, text, ref):
+                for t in tc.extract_triples_for(src, text, ref, sent_cache):
                     rows.append((url, gid, ts, t.subject, t.predicate, t.object,
                                  t.fact, t.valid_at, t.invalid_at,
                                  t.explicit_dates, normf(t.fact),

@@ -245,3 +245,32 @@ def test_clean_input_reference_cases():
     ref = datetime(2024, 6, 1)
     fm, ft = tc.extract_page(dirty, ref)
     assert fm == ms and ft == tc.extract_triples_for("text", dirty, ref)
+
+
+def test_sentence_cache_parity_across_ref_ts():
+    # the shared sentence-proto cache must be transparent: cached results
+    # are ref_ts-independent protos, and per-page date resolution happens
+    # after the cache (textcore.sentence_protos / _apply_ref split).
+    # Sentences cover: relative date (ref-dependent), absolute date,
+    # until-only, from-to, and no date — shared across pages whose
+    # timestamps differ, in both text and message form.
+    from datetime import datetime
+
+    sents = [
+        "Priya Sharma joined Glowco yesterday.",
+        "Rahul Mehta likes Glowco since 2024-01-02.",
+        "Alice Wong managed Team Atlas until 2024-05-06.",
+        "Marco Rossi sponsors SummerGlow from 2024-01-01 to 2024-02-01.",
+        "Yuki Tanaka collaborates with Amara Okafor.",
+    ]
+    page = " ".join(sents)
+    msg_page = "\n".join(f"rahul_m: {s}" for s in sents)
+    refs = [datetime(2024, 6, 1, 12), datetime(2025, 2, 3), datetime(2024, 6, 1)]
+
+    cache: dict = {}
+    for src, text in (("text", page), ("message", msg_page)):
+        for ref in refs:
+            cached = tc.extract_triples_for(src, text, ref, cache)
+            fresh = tc.extract_triples_for(src, text, ref)
+            assert cached == fresh, (src, ref)
+    assert cache  # the shared cache was actually exercised
