@@ -52,11 +52,19 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         # has 128G; a small heap makes 32 concurrent tasks GC-bound and
         # wrecks scaling long before data volume does)
         .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "48g"))
-        # JVM knob passthrough for experiments (A/B'd ParallelGC vs G1:
-        # G1 wins on this DAG — allocation-heavy wide aggs benefit from
-        # region evacuation; default stays the JVM default)
+        # GC: G1 (JVM default; A/B'd vs ParallelGC — G1 wins on this DAG)
+        # with an explicitly enlarged young generation. The provenance
+        # aggregation (collect_set states over millions of classes) is
+        # allocation-rate-bound: event-log attribution at 1.6M pages showed
+        # 19-44% of that stage's CPU in GC with default ergonomics, and
+        # interleaved full-DAG A/B at local[32] measured means 122s -> 95s
+        # (bests 100s -> 68s) from letting young collections absorb the agg
+        # burst instead of promoting it. KGSPARK_JAVA_OPTS overrides.
         .config("spark.driver.extraJavaOptions",
-                os.environ.get("KGSPARK_JAVA_OPTS", ""))
+                os.environ.get("KGSPARK_JAVA_OPTS",
+                               "-XX:+UnlockExperimentalVMOptions"
+                               " -XX:G1NewSizePercent=30"
+                               " -XX:G1MaxNewSizePercent=60"))
         # memory-backed shuffle dirs: local-mode shuffles otherwise hit the
         # sandbox VM's disk and serialize every wide stage behind I/O — a
         # real cluster shuffles over NVMe + network. tmpfs is the honest
