@@ -33,7 +33,7 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
-    return (
+    builder = (
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName(app)
@@ -98,5 +98,11 @@ def get_spark(app: str = "kgspark", cpus: int | None = None,
         # mid-stage parallelism ≈ core count at bench scale while still
         # merging truly tiny partitions
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024))
-        .getOrCreate()
     )
+    # ad-hoc conf passthrough for A/B experiments:
+    # KGSPARK_EXTRA_CONF="spark.io.compression.codec=zstd;spark.x=y"
+    extra = os.environ.get("KGSPARK_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    return builder.getOrCreate()
