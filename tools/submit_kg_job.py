@@ -9,6 +9,12 @@ installed wheel), exactly as it would on a real multi-executor cluster:
     spark-submit --master local[8] --py-files /tmp/kgspark.zip \
         tools/submit_kg_job.py <pages_parquet_dir> <output_dir> [--resumable]
 
+Size the driver/executors in the submit conf as on any cluster. In
+LOCAL master mode everything (tasks, Arrow transfers, broadcast) lives
+in the driver JVM, so pass --driver-memory explicitly — the 1g default
+dies with a netty direct-buffer OOM around 10^6 pages (measured at
+1.6M pages / local[32]; --driver-memory 48g completes).
+
 The session comes from ``SparkSession.builder.getOrCreate()`` with no
 master/memory overrides, so whatever cluster manager and sizing
 spark-submit was given is what runs the job. Scale-relevant SQL conf that
@@ -70,7 +76,8 @@ def main() -> None:
         "pages_per_sec": round(n_pages / wall, 1),
         "triples_per_sec": round(n_edges / wall, 1),
         "resumable": resumable,
-        "groups_processed": metrics and len(metrics) or None,
+        "groups_processed": metrics and metrics.get("groups_processed"),
+        "groups_skipped": metrics and metrics.get("groups_skipped"),
         "parallelism": spark.sparkContext.defaultParallelism,
     }))
     spark.stop()
