@@ -334,14 +334,14 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     edges_resolved, invalidations = temporal.temporal_pass(edges_merged, batch_ts)
 
     if compute_embeddings:
-        edge_emb = udfs.embed_entities(
-            edges_resolved.select("group_id",
-                                  F.col("norm_fact").alias("norm_name"),
-                                  F.col("fact").alias("name"))
-        ).withColumnRenamed("name_embedding", "fact_embedding") \
-         .withColumnRenamed("norm_name", "norm_fact") \
-         .dropDuplicates(["group_id", "norm_fact"])
-        edges_resolved = edges_resolved.join(edge_emb, ["group_id", "norm_fact"], "left")
+        # fact_embedding is consumed only on the edge row itself, so it is
+        # computed as a column expression in the edges projection — the
+        # previous embed-table + join shape shuffled the (edges x 1024
+        # doubles) table through a both-sided sort-merge (~5 GB at 1.6M
+        # pages) for no reuse. Values are bit-identical
+        # (udfs.embed_expr == textcore.hash_embedding, test_udf_parity).
+        edges_resolved = edges_resolved.withColumn(
+            "fact_embedding", udfs.embed_expr()(F.col("fact")))
     else:
         edges_resolved = edges_resolved.withColumn(
             "fact_embedding", F.lit(None).cast("array<double>"))

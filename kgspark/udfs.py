@@ -318,6 +318,26 @@ def _embed_unique(names: pd.Series, embed=None) -> pd.Series:
     return names.map(uniq)
 
 
+def embed_expr():
+    """Scalar pandas UDF: text column -> hash embedding (array<double>),
+    bit-identical to ``textcore.hash_embedding``.
+
+    For per-row embeddings that live ON the row (edge fact_embedding), a
+    column expression beats the embed-table-then-join shape: the join
+    shuffles the ~(rows x 1024 doubles) embedding table through a
+    sort-merge (measured ~5 GB both-sided at 1.6M pages), while a column
+    UDF computes the vectors inside the consuming stage with zero
+    exchange. Keep ``embed_entities`` + join where one embedding table is
+    genuinely REUSED by several consumers (entity names: pair scoring +
+    nodes table)."""
+
+    @F.pandas_udf("array<double>")
+    def _embed(names: pd.Series) -> pd.Series:
+        return _embed_unique(names, _embed_factory())
+
+    return _embed
+
+
 # Embeddings carry full double precision end-to-end: the linking decision is
 # thresholded (cosine >= 0.6), so the Spark DAG, the single-process oracle
 # (python doubles) and the DuckDB oracle must all see the SAME values or

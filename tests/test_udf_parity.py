@@ -112,3 +112,13 @@ def test_embed_factory_bit_identical():
         assert embed(n) == tc.hash_embedding(n), n
     # cache path: second call returns the same object/values
     assert embed(NAMES[0]) == tc.hash_embedding(NAMES[0])
+
+
+def test_embed_expr_column_parity(spark):
+    # the zero-shuffle column embedder (edge fact_embedding path) must be
+    # bit-identical to textcore.hash_embedding, like embed_entities
+    facts = NAMES + ["Priya Sharma works for Glowco since March 5, 2024.", ""]
+    df = spark.createDataFrame(pd.DataFrame({"fact": facts}))
+    got = df.withColumn("e", udfs.embed_expr()(F.col("fact"))).collect()
+    for fact, row in zip(facts, got):
+        assert row["e"] == tc.hash_embedding(fact), fact
