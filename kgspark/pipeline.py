@@ -344,7 +344,7 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
             "fact_embedding", udfs.embed_expr()(F.col("fact")))
     else:
         edges_resolved = edges_resolved.withColumn(
-            "fact_embedding", F.lit(None).cast("array<double>"))
+            "fact_embedding", F.lit(None).cast("array<float>"))
 
     edges = (
         edges_resolved

@@ -318,9 +318,71 @@ def _embed_unique(names: pd.Series, embed=None) -> pd.Series:
     return names.map(uniq)
 
 
+def _embed_series_factory():
+    """Batch embedding kernel: ``fn(names: pd.Series) -> pd.Series`` of
+    float64 numpy rows, BIT-IDENTICAL per row to ``textcore.hash_embedding``
+    (pinned by test_udf_parity::test_embed_series_bit_identical).
+
+    Replaces the per-name scatter-add of ``_embed_factory`` with ONE
+    flat feature pass per batch: all new names' (dim index, sign) pairs are
+    appended to flat arrays and accumulated with a single ``np.bincount``
+    over ``row*dim + idx``, then normalized matrix-wise. Exactness: every
+    cell sums a subset of ±1.0 contributions, so all partial sums are
+    small integers (exact in float64 under ANY order — bincount's order
+    doesn't matter); the squared norm is an integer, and sqrt/divide are
+    the same IEEE round-to-nearest ops the spec performs. Caches persist
+    across the task's Arrow batches (feature AND name level — web
+    boilerplate repeats facts corpus-wide)."""
+    feat_cache: dict[str, tuple[int, float]] = {}
+    name_cache: dict[str, np.ndarray] = {}
+    dim = tc.EMBED_DIM
+
+    def embed_series(names: pd.Series) -> pd.Series:
+        uniq = pd.unique(names)
+        todo = [n for n in uniq if n not in name_cache]
+        if todo:
+            get = feat_cache.get
+            flat_i: list[int] = []
+            flat_s: list[float] = []
+            lens = np.empty(len(todo), dtype=np.int64)
+            for k, n in enumerate(todo):
+                norm = tc.normalize_name(n)
+                feats = norm.split()
+                padded = "^" + norm + "$"
+                if len(padded) <= 3:
+                    feats.append(padded)
+                else:
+                    # set semantics as in name_shingles; sort order is
+                    # irrelevant to the (exact) accumulation
+                    feats.extend({padded[i:i + 3]
+                                  for i in range(len(padded) - 2)})
+                for f in feats:
+                    c = get(f)
+                    if c is None:
+                        h = tc._stable_hash(f)
+                        c = feat_cache[f] = (h % dim,
+                                             1.0 if (h >> 62) & 1 else -1.0)
+                    flat_i.append(c[0])
+                    flat_s.append(c[1])
+                lens[k] = len(feats)
+            row_ids = np.repeat(np.arange(len(todo), dtype=np.int64), lens)
+            fi = np.array(flat_i, dtype=np.int64)
+            fs = np.array(flat_s, dtype=np.float64)
+            mat = np.bincount(row_ids * dim + fi, weights=fs,
+                              minlength=len(todo) * dim).reshape(len(todo), dim)
+            nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            nz = nrm != 0
+            mat[nz] /= nrm[nz, None]
+            for n, row in zip(todo, mat):
+                name_cache[n] = row
+        return names.map(name_cache)
+
+    return embed_series
+
+
 def embed_expr():
-    """Scalar pandas UDF: text column -> hash embedding (array<double>),
-    bit-identical to ``textcore.hash_embedding``.
+    """Scalar pandas UDF: text column -> hash embedding, ``array<float>``
+    (values = float32 round-to-nearest of ``textcore.hash_embedding``).
 
     For per-row embeddings that live ON the row (edge fact_embedding), a
     column expression beats the embed-table-then-join shape: the join
@@ -329,11 +391,25 @@ def embed_expr():
     UDF computes the vectors inside the consuming stage with zero
     exchange. Keep ``embed_entities`` + join where one embedding table is
     genuinely REUSED by several consumers (entity names: pair scoring +
-    nodes table)."""
+    nodes table).
 
-    @F.pandas_udf("array<double>")
+    float32 because the stored fact vector is decorative output — nothing
+    re-reads it on a thresholded decision path (linking/dedup run on NAME
+    embeddings, which stay float64) — and it is the reference's own edge
+    schema (EntityEdge.fact_embedding list[float], edges.py:186-202;
+    SURVEY.md §2 table row). Halves the Arrow transfer and the parquet
+    bytes of the widest pipeline column."""
+
+    embed_series = _embed_series_factory()
+    f32_cache: dict[str, np.ndarray] = {}
+
+    @F.pandas_udf("array<float>")
     def _embed(names: pd.Series) -> pd.Series:
-        return _embed_unique(names, _embed_factory())
+        f64 = embed_series(names)
+        for n, v in zip(names, f64):
+            if n not in f32_cache:
+                f32_cache[n] = v.astype(np.float32)
+        return names.map(f32_cache)
 
     return _embed
 

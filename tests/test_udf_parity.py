@@ -114,11 +114,31 @@ def test_embed_factory_bit_identical():
     assert embed(NAMES[0]) == tc.hash_embedding(NAMES[0])
 
 
+def test_embed_series_bit_identical():
+    # the batched bincount kernel must be BIT-identical (in float64) to the
+    # spec function — linking thresholds compare stored doubles exactly, so
+    # 1e-6-close is not good enough for borderline pairs
+    from kgspark.udfs import _embed_series_factory
+    embed = _embed_series_factory()
+    facts = NAMES + ["Priya Sharma works for Glowco since March 5, 2024.", ""]
+    got = embed(pd.Series(facts))
+    for fact, vec in zip(facts, got):
+        assert vec.tolist() == tc.hash_embedding(fact), fact
+    # cache path: a second batch overlapping the first stays identical
+    got2 = embed(pd.Series(facts[:3] + ["Zen Team launch"]))
+    assert got2.iloc[0].tolist() == tc.hash_embedding(facts[0])
+    assert got2.iloc[3].tolist() == tc.hash_embedding("Zen Team launch")
+
+
 def test_embed_expr_column_parity(spark):
-    # the zero-shuffle column embedder (edge fact_embedding path) must be
-    # bit-identical to textcore.hash_embedding, like embed_entities
+    # the zero-shuffle column embedder (edge fact_embedding path) stores
+    # array<float>: each value must be the float32 round-to-nearest of the
+    # bit-exact float64 spec embedding (reference stores list[float] too,
+    # edges.py:186-202)
+    import numpy as np
     facts = NAMES + ["Priya Sharma works for Glowco since March 5, 2024.", ""]
     df = spark.createDataFrame(pd.DataFrame({"fact": facts}))
     got = df.withColumn("e", udfs.embed_expr()(F.col("fact"))).collect()
     for fact, row in zip(facts, got):
-        assert row["e"] == tc.hash_embedding(fact), fact
+        want = np.asarray(tc.hash_embedding(fact), dtype=np.float32)
+        assert np.array_equal(np.asarray(row["e"], dtype=np.float32), want), fact
