@@ -197,8 +197,8 @@ def entity_community(labels: DataFrame, adj: DataFrame) -> DataFrame:
                     F.col("c").alias("community_id")))
 
 
-def update_community(nodes: DataFrame, labels: DataFrame,
-                     adj: DataFrame) -> dict[str, DataFrame]:
+def update_community(nodes: DataFrame, labels: DataFrame, adj: DataFrame,
+                     max_rounds: int = MAX_LP_ITERATIONS) -> dict[str, DataFrame]:
     """Incremental community update = attach AND re-summarize
     (update_community analog, community_operations.py:390-448 — the
     reference attaches the new node to its modal neighbor community and
@@ -210,22 +210,51 @@ def update_community(nodes: DataFrame, labels: DataFrame,
     from ``labels``. Returns
     {"communities": regenerated rows for the AFFECTED communities only,
      "community_members": their HAS_MEMBER edges,
-     "labels": the updated label table}. The community rows are produced
-    by the same template as the batch build (``community_rows``), so an
-    attach followed by a persist (e.g. ``io.merge_upsert(..,
-    "communities", out["communities"])``) equals a batch rebuild for
-    membership-identical communities (pinned by
-    test_update_community_resummarizes). Only the affected communities'
-    members enter the aggregation — the rest of the table is untouched,
-    which is what makes this incremental at 10^12-doc scale."""
+     "labels": the updated label table,
+     "unassigned": new nodes with no path to any labeled node}. The
+    community rows are produced by the same template as the batch build
+    (``community_rows``), so an attach followed by a persist (e.g.
+    ``io.merge_upsert(.., "communities", out["communities"])``) equals a
+    batch rebuild for membership-identical communities (pinned by
+    test_update_community_resummarizes).
+
+    Scale shape: the modal-neighbor aggregate + window run over ONLY the
+    increment's adjacency rows (semi-join on the new vertices), so cost is
+    proportional to the increment, not the graph. Attaches cascade — a new
+    node reachable from a labeled node only through OTHER new nodes joins
+    on a later pass, the batch analog of the reference attaching entities
+    one-by-one in arrival order — bounded by ``max_rounds`` hops. Genuinely
+    isolated new clusters come back in ``unassigned``: the reference skips
+    exactly these ("No suitable community found ... Skipping update",
+    community_operations.py:396-401) until its next batch
+    ``build_communities``; surfacing them lets the caller schedule that
+    rebuild instead of silently losing the cluster."""
     new_nodes = (adj.select("group_id", F.col("a").alias("uuid")).distinct()
-                 .join(labels, ["group_id", "uuid"], "left_anti"))
-    attach = entity_community(labels, adj).join(
-        new_nodes, ["group_id", "uuid"], "left_semi")
+                 .join(labels, ["group_id", "uuid"], "left_anti")
+                 .localCheckpoint(eager=False))
+    attach = None
+    known = labels
+    remaining = new_nodes
+    for _ in range(max_rounds):
+        adj_rem = adj.join(remaining.select("group_id",
+                                            F.col("uuid").alias("a")),
+                           ["group_id", "a"], "left_semi")
+        got = entity_community(known, adj_rem).localCheckpoint(eager=False)
+        if got.isEmpty():
+            break
+        attach = got if attach is None else attach.unionByName(got)
+        known = known.unionByName(got)
+        remaining = (remaining.join(got, ["group_id", "uuid"], "left_anti")
+                     .localCheckpoint(eager=False))
+        if remaining.isEmpty():
+            break
+    if attach is None:
+        attach = labels.limit(0)
     updated = labels.unionByName(attach)
     affected = attach.select("group_id", "community_id").distinct()
     members = _multi_member_clusters(updated).join(
         affected, ["group_id", "community_id"], "left_semi")
     out = community_rows(members, nodes)
     out["labels"] = updated
+    out["unassigned"] = remaining
     return out

@@ -144,14 +144,17 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
                         h = hash_cache[tok] = int.from_bytes(
                             hashlib.md5(tok.encode()).digest()[:8], "little")
                     hs[j] = h
+                # explicit little-endian byte views: a native .view() on a
+                # big-endian host would byte-swap the signature silently
                 signs = 2 * np.unpackbits(
-                    hs.view(np.uint8).reshape(-1, 8), axis=1,
+                    hs.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1,
                     bitorder="little").astype(np.int32) - 1
                 for i, idxs in enumerate(rows_idx):
                     if idxs.size:
                         acc = signs[idxs].sum(axis=0)
-                        sig = int(np.packbits(acc > 0, bitorder="little")
-                                  .view(np.uint64)[0])
+                        sig = int.from_bytes(
+                            np.packbits(acc > 0, bitorder="little")
+                            .tobytes(), "little")
                         # wrap into signed 64-bit (Spark LongType)
                         out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})

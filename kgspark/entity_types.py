@@ -15,8 +15,19 @@ checks.
 
 from __future__ import annotations
 
+import functools
 import re
 from dataclasses import dataclass
+
+
+@functools.lru_cache(maxsize=65536)
+def _compiled_extract(template: str, name: str) -> re.Pattern:
+    """(template, entity name) -> compiled extraction regex. Web text
+    re-mentions the same entities constantly, and the interpreter's own
+    512-entry ``re`` cache thrashes once distinct names exceed it — this
+    keeps the sre compile out of the Arrow hot loop (bounded: patterns are
+    tiny, 64k entries is a few MB per Python worker)."""
+    return re.compile(template.replace("{name}", re.escape(name)))
 
 
 @dataclass(frozen=True)
@@ -93,12 +104,22 @@ def dynamic_labels(registry: EntityTypeRegistry | None) -> frozenset[str]:
         else frozenset({"DynamicEvent"})
 
 
-def has_extraction(registry: EntityTypeRegistry | None) -> bool:
-    """True when any registered type declares content-extraction work
-    (patterns, or a schema a JSON payload could fill) — the pipeline skips
-    the attribute aggregation entirely otherwise."""
-    return registry is not None and any(
-        t.extract or t.attributes for t in registry.types)
+def has_extraction(registry: EntityTypeRegistry | None,
+                   json_possible: bool = True) -> bool:
+    """True when any registered type declares content-extraction work —
+    the pipeline skips the attribute aggregation (and the per-page
+    ``extract_attributes`` calls in the Arrow UDFs) entirely otherwise.
+
+    Extraction work means pattern templates (``EntityType.extract``), or —
+    only when the corpus can contain json episodes (``json_possible``:
+    callers pass whether the pages table carries a ``source`` column) — a
+    static ``attributes`` schema a JSON payload could fill. Registries
+    with static schemas alone on text-only corpora do no content work, so
+    gating them out keeps the hot extraction path free of dead stages."""
+    if registry is None:
+        return False
+    return any(t.extract for t in registry.types) or (
+        json_possible and any(t.attributes for t in registry.types))
 
 
 def extract_attributes(registry: EntityTypeRegistry | None, source: str,
@@ -112,8 +133,6 @@ def extract_attributes(registry: EntityTypeRegistry | None, source: str,
        are filled from same-named scalar payload fields (the prompt's
        "simple properties are attributes" rule, prompts/extract_nodes.py:131).
     """
-    import re as _re
-
     if registry is None:
         return {}
     out: dict[str, dict[str, str]] = {}
@@ -124,7 +143,7 @@ def extract_attributes(registry: EntityTypeRegistry | None, source: str,
             continue
         vals = {}
         for attr, template in t.extract:
-            rx = _re.compile(template.replace("{name}", _re.escape(m.name)))
+            rx = _compiled_extract(template, m.name)
             got = rx.search(text)
             if got:
                 vals[attr] = got.group(1)

@@ -83,7 +83,8 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
 
     # episode source (EpisodeType, nodes.py:42-75): pages without the column
     # are plain text episodes; extraction dispatches per row downstream
-    if "source" not in pages.columns:
+    json_possible = "source" in pages.columns
+    if not json_possible:
         pages = pages.withColumn("source", F.lit("text"))
     pages = pages.select("url", "group_id", "warc_ts", "html", "text", "lang",
                          "source")
@@ -111,10 +112,12 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     # stays an opt-in experiment knob.
     import os
     if os.environ.get("KGSPARK_FUSED_EXTRACTION", "0") == "1":
-        events = udfs.extract_page_events(pages, entity_types).localCheckpoint()
+        events = udfs.extract_page_events(
+            pages, entity_types, json_possible=json_possible).localCheckpoint()
         mentions_raw, triples_raw = udfs.split_events(events)
     else:
-        mentions_raw = udfs.extract_mentions(pages, entity_types)
+        mentions_raw = udfs.extract_mentions(pages, entity_types,
+                                             json_possible=json_possible)
         triples_raw = udfs.extract_triples(pages)
     if expose_intermediates:
         mentions_raw = mentions_raw.localCheckpoint(eager=False)
@@ -207,7 +210,7 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
         node_rows = node_rows.withColumn(
             "attributes", F.map_concat("attributes", chain))
     from kgspark.entity_types import has_extraction
-    if has_extraction(entity_types):
+    if has_extraction(entity_types, json_possible=json_possible):
         # attribute VALUES extracted from episode content (the dynamic
         # Pydantic-model fill, node_operations.py:303-358): per canonical
         # node and key, the latest (warc_ts, url) value wins and OVERRIDES

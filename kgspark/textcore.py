@@ -703,16 +703,23 @@ def extract_json_triples(text: str, ref_ts: datetime) -> list[Triple]:
     if subject is None:
         return []
     obj = parse_json_episode(text)
-    valid_at = invalid_at = None
-    explicit = False
+    # fixed KEY priority, not document order: 'since' beats 'valid_from'
+    # and 'until' beats 'valid_to' regardless of where they appear in the
+    # payload — the same coalesce(since, valid_from) rule the DuckDB
+    # oracle applies (kg_oracle.py kg_json_triples), so the twin rules
+    # cannot diverge on payloads carrying both spellings
+    dated: dict[str, datetime] = {}
     for k, v in _json_items(obj):
-        if isinstance(v, str):
+        if isinstance(v, str) and k not in dated and (
+                k in _JSON_DATE_KEYS_VALID or k in _JSON_DATE_KEYS_INVALID):
             d = _parse_date_token(v.strip())
             if d is not None:
-                if k in _JSON_DATE_KEYS_VALID and valid_at is None:
-                    valid_at, explicit = d, True
-                elif k in _JSON_DATE_KEYS_INVALID and invalid_at is None:
-                    invalid_at, explicit = d, True
+                dated[k] = d
+    valid_at = next((dated[k] for k in _JSON_DATE_KEYS_VALID if k in dated),
+                    None)
+    invalid_at = next((dated[k] for k in _JSON_DATE_KEYS_INVALID
+                       if k in dated), None)
+    explicit = valid_at is not None or invalid_at is not None
     triples = []
     for k, v in fields:
         pred = JSON_RELATION_KEYS.get(k)
@@ -787,13 +794,19 @@ def normalize_fact(fact: str) -> str:
     return normalize_name(s)
 
 
-def name_shingles(name: str, k: int = 3) -> list[str]:
-    """Character k-shingles of the normalized name, for MinHash-LSH blocking."""
-    n = normalize_name(name)
-    padded = f"^{n}$"
+def norm_shingles(norm: str, k: int = 3) -> list[str]:
+    """Character k-shingles of an ALREADY-normalized name — the single
+    shingle definition every kernel (spec ``hash_embedding``, the batched
+    UDF embedder, MinHash banding) derives from."""
+    padded = f"^{norm}$"
     if len(padded) <= k:
         return [padded]
     return sorted({padded[i: i + k] for i in range(len(padded) - k + 1)})
+
+
+def name_shingles(name: str, k: int = 3) -> list[str]:
+    """Character k-shingles of the normalized name, for MinHash-LSH blocking."""
+    return norm_shingles(normalize_name(name), k)
 
 
 def _stable_hash(s: str) -> int:

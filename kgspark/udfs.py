@@ -72,7 +72,8 @@ def _with_source(pages: DataFrame) -> DataFrame:
     return pages
 
 
-def extract_mentions(pages: DataFrame, entity_types=None) -> DataFrame:
+def extract_mentions(pages: DataFrame, entity_types=None,
+                     json_possible: bool | None = None) -> DataFrame:
     """``entity_types``: optional EntityTypeRegistry — custom labels win
     over the built-in classifier (kgspark/entity_types.py).
 
@@ -88,7 +89,9 @@ def extract_mentions(pages: DataFrame, entity_types=None) -> DataFrame:
     from kgspark.entity_types import (extract_attributes, has_extraction,
                                       make_classifier)
     classifier = make_classifier(entity_types)
-    extract_attrs = has_extraction(entity_types)
+    if json_possible is None:
+        json_possible = "source" in pages.columns
+    extract_attrs = has_extraction(entity_types, json_possible=json_possible)
     pages = _with_source(pages)
 
     def run(batches):
@@ -203,7 +206,8 @@ _T_COLS = ["url", "group_id", "warc_ts", "subject", "predicate", "object",
            "explicit_dates", "norm_fact", "norm_subj", "norm_obj"]
 
 
-def extract_page_events(pages: DataFrame, entity_types=None) -> DataFrame:
+def extract_page_events(pages: DataFrame, entity_types=None,
+                        json_possible: bool | None = None) -> DataFrame:
     """One mapInPandas stage over the page scan producing the union of
     MENTIONS_DDL rows (kind='m') and TRIPLES_DDL rows (kind='t') — the
     pipeline materializes this once instead of scanning + parsing every page
@@ -213,7 +217,9 @@ def extract_page_events(pages: DataFrame, entity_types=None) -> DataFrame:
     from kgspark.entity_types import (extract_attributes, has_extraction,
                                       make_classifier)
     classifier = make_classifier(entity_types)
-    extract_attrs = has_extraction(entity_types)
+    if json_possible is None:
+        json_possible = "source" in pages.columns
+    extract_attrs = has_extraction(entity_types, json_possible=json_possible)
     pages = _with_source(pages)
 
     def run(batches):
@@ -275,47 +281,14 @@ def split_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
 # embedder/client.py:22, search_utils.py:638-676)
 # ---------------------------------------------------------------------------
 
-def _embed_factory():
-    """Vectorized hash_embedding with a per-task feature cache: distinct
-    features (tokens + shingles) repeat heavily across names/facts, so each
-    feature's (dim index, sign) is derived once; per name the vector is one
-    numpy scatter-add + exact L2 normalization. BIT-IDENTICAL to
-    textcore.hash_embedding: the accumulated components are small integers
-    (exact in float64 under any summation order) and the squared norm is an
-    integer, so normalization divides by the same double on both paths
-    (pinned by test_udf_parity)."""
-    feat_cache: dict[str, tuple[int, float]] = {}
-    name_cache: dict[str, list[float]] = {}
-    dim = tc.EMBED_DIM
-
-    def embed(n: str) -> list[float]:
-        got = name_cache.get(n)
-        if got is not None:
-            return got
-        feats = tc.normalize_name(n).split() + tc.name_shingles(n)
-        idxs = np.empty(len(feats), dtype=np.int64)
-        sgns = np.empty(len(feats), dtype=np.float64)
-        for j, f in enumerate(feats):
-            c = feat_cache.get(f)
-            if c is None:
-                h = tc._stable_hash(f)
-                c = feat_cache[f] = (h % dim, 1.0 if (h >> 62) & 1 else -1.0)
-            idxs[j], sgns[j] = c
-        vec = np.zeros(dim)
-        np.add.at(vec, idxs, sgns)
-        nrm = np.sqrt(np.sum(vec * vec))
-        got = name_cache[n] = (vec / nrm).tolist() if nrm else vec.tolist()
-        return got
-
-    return embed
-
-
-def _embed_unique(names: pd.Series, embed=None) -> pd.Series:
-    """Memoized per-batch embedding: distinct names only (the LLM-diskcache
-    analog of llm_client/client.py:116-151 — dedup before expensive work)."""
-    fn = embed or tc.hash_embedding
-    uniq = {n: fn(n) for n in pd.unique(names)}
-    return names.map(uniq)
+# Per-task cache bounds. Entity NAMES repeat heavily (the caches earn
+# their keep), but edge FACTS are near-unique full sentences — an
+# unbounded vector cache on that path retains ~12 KB (f64+f32) per
+# distinct input for the task's lifetime, gigabytes per Python worker on a
+# large partition. Clear-on-overflow keeps the hot boilerplate cached and
+# the worst case bounded (~130 MB of f64 vectors) with zero bookkeeping.
+_VEC_CACHE_CAP = 16384   # ~8 KB float64 vector per entry
+_FEAT_CACHE_CAP = 1 << 20  # ~50 B (index, sign) tuple per entry
 
 
 def _embed_series_factory():
@@ -323,8 +296,10 @@ def _embed_series_factory():
     float64 numpy rows, BIT-IDENTICAL per row to ``textcore.hash_embedding``
     (pinned by test_udf_parity::test_embed_series_bit_identical).
 
-    Replaces the per-name scatter-add of ``_embed_factory`` with ONE
-    flat feature pass per batch: all new names' (dim index, sign) pairs are
+    THE embedding kernel — every embedding consumer (``embed_entities``,
+    ``embed_expr``) routes through it, so the bit-identity contract lives
+    in exactly one place. ONE flat feature pass per batch: all new names'
+    (dim index, sign) pairs are
     appended to flat arrays and accumulated with a single ``np.bincount``
     over ``row*dim + idx``, then normalized matrix-wise. Exactness: every
     cell sums a subset of ±1.0 contributions, so all partial sums are
@@ -338,6 +313,10 @@ def _embed_series_factory():
     dim = tc.EMBED_DIM
 
     def embed_series(names: pd.Series) -> pd.Series:
+        if len(name_cache) > _VEC_CACHE_CAP:
+            name_cache.clear()
+        if len(feat_cache) > _FEAT_CACHE_CAP:
+            feat_cache.clear()
         uniq = pd.unique(names)
         todo = [n for n in uniq if n not in name_cache]
         if todo:
@@ -347,15 +326,7 @@ def _embed_series_factory():
             lens = np.empty(len(todo), dtype=np.int64)
             for k, n in enumerate(todo):
                 norm = tc.normalize_name(n)
-                feats = norm.split()
-                padded = "^" + norm + "$"
-                if len(padded) <= 3:
-                    feats.append(padded)
-                else:
-                    # set semantics as in name_shingles; sort order is
-                    # irrelevant to the (exact) accumulation
-                    feats.extend({padded[i:i + 3]
-                                  for i in range(len(padded) - 2)})
+                feats = norm.split() + tc.norm_shingles(norm)
                 for f in feats:
                     c = get(f)
                     if c is None:
@@ -405,6 +376,8 @@ def embed_expr():
 
     @F.pandas_udf("array<float>")
     def _embed(names: pd.Series) -> pd.Series:
+        if len(f32_cache) > _VEC_CACHE_CAP:
+            f32_cache.clear()
         f64 = embed_series(names)
         for n, v in zip(names, f64):
             if n not in f32_cache:
@@ -426,16 +399,16 @@ BANDS_DDL = "group_id string, norm_name string, band_key string"
 
 def embed_entities(entities: DataFrame) -> DataFrame:
     """(group_id, norm_name, name) -> name_embedding array<double> (dim 1024).
-    Uses the feature-cached vectorized embedder (caches persist across the
+    Uses the shared batched embedding kernel (caches persist across the
     task's batches; bit-identical to textcore.hash_embedding)."""
 
     def run(batches):
-        embed = _embed_factory()
+        embed_series = _embed_series_factory()
         for pdf in batches:
             yield pd.DataFrame({
                 "group_id": pdf["group_id"],
                 "norm_name": pdf["norm_name"],
-                "name_embedding": _embed_unique(pdf["name"], embed),
+                "name_embedding": embed_series(pdf["name"]),
             })
 
     return entities.select("group_id", "norm_name", "name").mapInPandas(run, EMBED_DDL)
@@ -453,6 +426,9 @@ def entity_band_keys(entities: DataFrame) -> DataFrame:
     def run(batches):
         rows_n, bands = tc.MINHASH_ROWS, tc.MINHASH_BANDS
         nseed = rows_n * bands
+        # shingle vocab is structurally bounded (3-grams over [a-z0-9 ]),
+        # so shingle_rows stays unbounded; name_keys is input-cardinality
+        # bound like the vector caches -> clear-on-overflow
         shingle_rows: dict[str, np.ndarray] = {}  # cached across batches
         name_keys: dict[str, list[str]] = {}
 
@@ -475,6 +451,8 @@ def entity_band_keys(entities: DataFrame) -> DataFrame:
             return got
 
         for pdf in batches:
+            if len(name_keys) > 4 * _VEC_CACHE_CAP:
+                name_keys.clear()
             out = {"group_id": [], "norm_name": [], "band_key": []}
             for gid, nn, name in zip(pdf["group_id"], pdf["norm_name"], pdf["name"]):
                 for k in keys_for(name):

@@ -439,6 +439,23 @@ def test_merge_upsert_null_group_id(spark, tmp_path):
     assert got == {("u1", "g2"): "moved", ("u2", "g1"): "two"}
 
 
+def test_has_extraction_gating():
+    # static-schema-only registries do no content work on text-only
+    # corpora — the pipeline must skip the whole attribute aggregation
+    # (and the per-page extract_attributes calls) for them
+    from kgspark.entity_types import has_extraction
+    static_only = EntityTypeRegistry((EntityType(
+        "Creator", suffixes=("Sharma",), attributes=(("tier", "std"),)),))
+    assert not has_extraction(static_only, json_possible=False)
+    assert has_extraction(static_only, json_possible=True)  # json can fill
+    patterned = EntityTypeRegistry((EntityType(
+        "Creator", suffixes=("Sharma",),
+        extract=(("hq", r"{name} hq in (\w+)"),)),))
+    assert has_extraction(patterned, json_possible=False)
+    assert not has_extraction(None)
+    assert not has_extraction(EntityTypeRegistry(()))
+
+
 def test_attribute_values_extracted_from_content(spark):
     # round-3: attribute VALUES come from episode content (deterministic
     # analog of the dynamic Pydantic fill, node_operations.py:303-358), not
@@ -541,6 +558,37 @@ def test_update_community_resummarizes(spark):
     old = {r["uuid"]: r["community_id"] for r in labels.collect()}
     assert set(lbl) == set(old) | {"n7"}
     assert all(lbl[k] == v for k, v in old.items())
+
+
+def test_update_community_cascade_and_unassigned(spark):
+    # a new node whose only labeled path runs through ANOTHER new node
+    # attaches on a later pass (arrival-order analog of the reference's
+    # one-entity-at-a-time update_community), and a co-arriving cluster
+    # with NO path to any labeled node is surfaced as `unassigned` — the
+    # reference skips exactly these (community_operations.py:396-401)
+    # rather than attaching them, so they must not vanish silently.
+    edges_old = _toy_graph(spark)
+    labels = communities.label_propagation(communities.adjacency(edges_old))
+    extra = spark.createDataFrame(pd.DataFrame(
+        [("g", "n7", "n1"),    # n7: labeled neighbor -> attaches pass 1
+         ("g", "n8", "n7"),    # n8: only new neighbor n7 -> attaches pass 2
+         ("g", "n9", "n10")],  # isolated new pair -> unassigned
+        columns=["group_id", "source_node_uuid", "target_node_uuid"]))
+    edges_new = edges_old.unionByName(extra)
+    nodes = (edges_new.select(F.col("source_node_uuid").alias("uuid"))
+             .union(edges_new.select("target_node_uuid"))
+             .distinct()
+             .select("uuid", F.col("uuid").alias("name"),
+                     F.lit("g").alias("group_id")))
+    inc = communities.update_community(
+        nodes, labels, communities.adjacency(edges_new))
+    lbl = {r["uuid"]: r["community_id"] for r in inc["labels"].collect()}
+    old = {r["uuid"]: r["community_id"] for r in labels.collect()}
+    assert "n7" in lbl and lbl["n7"] == old["n1"]
+    assert "n8" in lbl and lbl["n8"] == lbl["n7"]  # cascaded through n7
+    assert all(lbl[k] == v for k, v in old.items())  # old labels untouched
+    unassigned = {r["uuid"] for r in inc["unassigned"].collect()}
+    assert unassigned == {"n9", "n10"}
 
 
 def test_hf_cross_scorer_env_gated():

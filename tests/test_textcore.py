@@ -188,6 +188,20 @@ def test_json_entity_and_relation_rules():
     assert ts[0].valid_at == datetime(2024, 3, 5) and ts[0].explicit_dates
 
 
+def test_json_date_key_priority_not_document_order():
+    # fixed KEY priority: 'since' beats 'valid_from' (and 'until' beats
+    # 'valid_to') even when the payload lists them the other way round —
+    # the same coalesce order the kg_json_triples DuckDB oracle applies,
+    # so the twin rules cannot diverge on both-spellings payloads
+    js = ('{"name": "SummerGlow Campaign", "features": "Glowco", '
+          '"valid_from": "2024-01-01", "since": "2024-02-02", '
+          '"valid_to": "2024-11-11", "until": "2024-12-12"}')
+    ts = tc.extract_json_triples(js, datetime(2024, 6, 1))
+    assert ts[0].valid_at == datetime(2024, 2, 2)
+    assert ts[0].invalid_at == datetime(2024, 12, 12)
+    assert ts[0].explicit_dates
+
+
 def test_json_nested_and_malformed():
     # nested payloads flatten in document order; malformed content degrades
     # to zero mentions, never an exception

@@ -102,16 +102,17 @@ def test_extract_page_fusion_parity_edge_texts():
         assert fused_t == tc.extract_triples(text, ref)
 
 
-def test_embed_factory_bit_identical():
-    # the vectorized embedder must be BIT-identical to the spec function —
-    # linking thresholds compare stored doubles exactly, so 1e-6-close is
-    # not good enough for borderline pairs
-    from kgspark.udfs import _embed_factory
-    embed = _embed_factory()
-    for n in NAMES + ["Priya Sharma works for Glowco since March 5, 2024."]:
-        assert embed(n) == tc.hash_embedding(n), n
-    # cache path: second call returns the same object/values
-    assert embed(NAMES[0]) == tc.hash_embedding(NAMES[0])
+def test_embed_series_cache_overflow_stays_bit_identical(monkeypatch):
+    # the per-task vector caches clear on overflow (bounded memory on
+    # near-unique fact sentences); results must stay bit-identical across
+    # the clear boundary
+    from kgspark import udfs
+    monkeypatch.setattr(udfs, "_VEC_CACHE_CAP", 2)
+    embed = udfs._embed_series_factory()
+    for batch in (NAMES, NAMES[:2] + ["Zen Team launch"], NAMES):
+        got = embed(pd.Series(batch))
+        for name, vec in zip(batch, got):
+            assert vec.tolist() == tc.hash_embedding(name), name
 
 
 def test_embed_series_bit_identical():
