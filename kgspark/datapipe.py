@@ -768,11 +768,130 @@ def _pnm_decode(b: bytes) -> dict:
             "mean_g": float(means[1]), "mean_b": float(means[2])}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (spec §11.2.2): gray, RGB, palette,
+# gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_decode(b: bytes) -> dict:
+    """Pure-stdlib PNG decode (public W3C PNG spec / RFC 2083): chunk walk
+    -> concatenated-IDAT zlib inflate -> per-scanline un-filtering. Covers
+    8-bit depth, all five color types (palette via PLTE), non-interlaced —
+    the overwhelming majority of web images that are PNGs at all. 16-bit
+    and Adam7-interlaced files raise ValueError and surface as status rows.
+
+    Un-filtering: None/Up are whole-row numpy ops and Sub is a per-channel
+    cumsum (mod 256); Average/Paeth carry a left-neighbor dependence, so
+    those rows fall back to a per-byte loop — correctness first, and
+    filter choice is the encoder's, not ours."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype = data[8], data[9]
+            interlace = data[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC (not verified)
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    nch = _PNG_CHANNELS.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette image without PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("raster size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    filters, lines = arr[:, 0], arr[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = lines[y].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else zero
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: per-channel cumsum carries the left neighbor
+            cur = line.copy()
+            for c in range(nch):
+                cur[c::nch] = np.cumsum(cur[c::nch]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                bb = prev[x]
+                cc = prev[x - nch] if x >= nch else 0
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (bb if pb <= pc else cc)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        out[y] = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 3:  # palette lookup -> RGB
+        px = plte[px[:, :, 0]]
+    elif ctype == 0:  # gray -> replicate
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 4:  # gray+alpha -> replicate gray, drop alpha
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ctype == 6:  # RGBA -> drop alpha (means are over color channels)
+        px = px[:, :, :3]
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    return {"width": int(w), "height": int(h), "mean_r": float(means[0]),
+            "mean_g": float(means[1]), "mean_b": float(means[2])}
+
+
+def _pil_decode(b: bytes) -> dict:
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(b)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64)
+    return {"width": img.width, "height": img.height,
+            "mean_r": float(arr[..., 0].mean()),
+            "mean_g": float(arr[..., 1].mean()),
+            "mean_b": float(arr[..., 2].mean())}
+
+
 def decode_images(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
-    """REAL image decode over an opaque binary column: binary PPM (P6) and
-    PGM (P5) are parsed byte-for-byte with the stdlib; PNG/JPEG decode is
-    attempted through PIL when present (not in this container) and reported
-    as decode_status='unsupported' otherwise. Features: dimensions + mean
+    """REAL image decode over an opaque binary column: binary PPM (P6) /
+    PGM (P5) are parsed byte-for-byte and PNG (8-bit, all color types,
+    non-interlaced) is inflated + un-filtered with the stdlib ``zlib`` +
+    numpy — no imaging library needed. JPEG and exotic PNGs fall through
+    to PIL when present (not in this container) and report
+    decode_status='unsupported' otherwise. Features: dimensions + mean
     channel intensities. Corrupt blobs yield a status row, not a task
     failure."""
 
@@ -791,17 +910,18 @@ def decode_images(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
                 try:
                     if b[:2] in (b"P6", b"P5"):
                         row.update(_pnm_decode(b))
+                    elif b[:8] == _PNG_SIG:
+                        # stdlib decoder first (deterministic across
+                        # environments); 16-bit/interlaced fall through
+                        # to PIL when it exists
+                        try:
+                            row.update(_png_decode(b))
+                        except ValueError:
+                            if not have_pil:
+                                raise
+                            row.update(_pil_decode(b))
                     elif have_pil:
-                        import io
-
-                        from PIL import Image
-                        img = Image.open(io.BytesIO(b)).convert("RGB")
-                        arr = np.asarray(img, dtype=np.float64)
-                        row.update({
-                            "width": img.width, "height": img.height,
-                            "mean_r": float(arr[..., 0].mean()),
-                            "mean_g": float(arr[..., 1].mean()),
-                            "mean_b": float(arr[..., 2].mean())})
+                        row.update(_pil_decode(b))
                     else:
                         row["decode_status"] = "unsupported"
                 except Exception as e:

@@ -232,10 +232,106 @@ def test_image_decode_pnm(spark):
     assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (10.0, 20.0, 30.0)
     assert got[2]["width"] == 2 and got[2]["mean_r"] == 100.0
     assert got[2]["mean_r"] == got[2]["mean_g"] == got[2]["mean_b"]
-    assert got[3]["decode_status"] in ("unsupported", "ok")  # PIL-gated
+    # a PNG signature with garbage chunks reaches the stdlib PNG decoder
+    # and degrades to a status row (never a task failure)
+    assert got[3]["decode_status"].startswith(("error", "unsupported", "ok"))
     assert got[4]["decode_status"].startswith("error")
     assert got[5]["decode_status"] == "ok"
     assert (got[5]["mean_r"], got[5]["mean_g"], got[5]["mean_b"]) == (10.0, 20.0, 30.0)
+
+
+# -- PNG fixtures: an independent forward-filtering encoder written from
+# the public W3C PNG spec, so the decoder is tested against the spec's
+# filter definitions rather than against itself.
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _make_png(px, ctype: int, filters, plte=None, interlace=0) -> bytes:
+    """Encode ``px`` (h x w x nch uint8; palette images pass index planes
+    with nch=1) applying ``filters[y]`` (spec §9: 0=None 1=Sub 2=Up 3=Avg
+    4=Paeth) forward to each scanline."""
+    import struct
+    import zlib
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, nch = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    stride = w * nch
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur, f = flat[y], filters[y]
+        left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]]) \
+            if stride > nch else np.zeros(stride, np.int32)
+        upleft = np.concatenate([np.zeros(nch, np.int32), prev[:-nch]]) \
+            if stride > nch else np.zeros(stride, np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
+    return (out + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filters_and_color_types(spark):
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(5, 4, 3))          # one row per filter
+    gray = rng.randint(0, 256, size=(3, 6, 1))
+    rgba = rng.randint(0, 256, size=(4, 3, 4))
+    ga = rng.randint(0, 256, size=(2, 5, 2))
+    plte = rng.randint(0, 256, size=(16, 3))
+    idx = rng.randint(0, 16, size=(4, 4, 1))
+    blobs = [
+        (1, _make_png(rgb, 2, [0, 1, 2, 3, 4])),
+        (2, _make_png(gray, 0, [4, 1, 3])),
+        (3, _make_png(rgba, 6, [1, 4, 2, 3])),
+        (4, _make_png(ga, 4, [4, 4])),
+        (5, _make_png(idx, 3, [0, 1, 2, 4], plte=plte)),
+        (6, _make_png(rgb, 2, [0] * 5, interlace=1)),  # Adam7: rejected
+    ]
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    got = {r["id"]: r for r in dp.decode_images(df, "id", "blob").collect()}
+
+    def means(a):  # ground truth straight from the pixel arrays
+        return tuple(float(a[..., c].mean()) for c in range(a.shape[-1]))
+
+    assert (got[1]["width"], got[1]["height"]) == (4, 5)
+    assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == means(rgb)
+    g = float(gray.mean())
+    assert (got[2]["mean_r"], got[2]["mean_g"], got[2]["mean_b"]) == (g, g, g)
+    assert (got[3]["mean_r"], got[3]["mean_g"], got[3]["mean_b"]) == \
+        means(rgba[..., :3])                            # alpha ignored
+    ga_mean = float(ga[..., 0].mean())
+    assert got[4]["mean_r"] == got[4]["mean_g"] == got[4]["mean_b"] == ga_mean
+    assert (got[5]["mean_r"], got[5]["mean_g"], got[5]["mean_b"]) == \
+        means(plte[idx[..., 0]])                        # palette lookup
+    try:
+        import PIL  # noqa: F401
+        assert got[6]["decode_status"] == "ok"          # PIL fallback took it
+    except ImportError:
+        assert got[6]["decode_status"] == "error: ValueError"
 
 
 def test_corpus_dedup_clusters(spark):
