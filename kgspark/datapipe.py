@@ -812,17 +812,29 @@ def _png_decode(b: bytes) -> dict:
     if w is None:
         raise ValueError("missing IHDR")
     if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth}")
+        # valid PNG bit depths this decoder doesn't cover -> 'unsupported'
+        # (NotImplementedError), NOT 'error' — downstream consumers split
+        # format gaps from genuinely corrupt data
+        if depth in (1, 2, 4, 16):
+            raise NotImplementedError(f"bit depth {depth} unsupported")
+        raise ValueError(f"invalid bit depth {depth}")
     if interlace:
-        raise ValueError("interlaced PNG unsupported")
+        raise NotImplementedError("interlaced PNG unsupported")
     nch = _PNG_CHANNELS.get(ctype)
     if nch is None:
         raise ValueError(f"unknown color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette image without PLTE")
-    raw = zlib.decompress(b"".join(idat))
+    if not (w and h):
+        raise ValueError("zero-dimension image")
     stride = w * nch
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    # bounded inflate: the expected raster size is known from IHDR, so a
+    # decompression-bomb IDAT can never allocate more than expected+1
+    # bytes before the size check fires (contract: corrupt blobs are
+    # status rows, never executor OOMs)
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("raster size mismatch")
     arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
     filters, lines = arr[:, 0], arr[:, 1:]
@@ -835,27 +847,30 @@ def _png_decode(b: bytes) -> dict:
         if f == 0:  # None
             cur = line
         elif f == 1:  # Sub: per-channel cumsum carries the left neighbor
-            cur = line.copy()
+            cur = line
             for c in range(nch):
                 cur[c::nch] = np.cumsum(cur[c::nch]) & 0xFF
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            cur = line
+        elif f == 3:  # Average — sequential left dependence; plain-int
+            # lists beat numpy scalar indexing ~10x in this per-byte loop
+            cl, pl = line.tolist(), prev.tolist()
             for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = line
+                a = cl[x - nch] if x >= nch else 0
+                cl[x] = (cl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
+        elif f == 4:  # Paeth — same sequential shape as Average
+            cl, pl = line.tolist(), prev.tolist()
             for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                bb = prev[x]
-                cc = prev[x - nch] if x >= nch else 0
+                a = cl[x - nch] if x >= nch else 0
+                bb = pl[x]
+                cc = pl[x - nch] if x >= nch else 0
                 p = a + bb - cc
                 pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
                 pred = a if (pa <= pb and pa <= pc) else \
                     (bb if pb <= pc else cc)
-                cur[x] = (cur[x] + pred) & 0xFF
+                cl[x] = (cl[x] + pred) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
         else:
             raise ValueError(f"unknown filter type {f}")
         out[y] = cur
@@ -912,14 +927,18 @@ def decode_images(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
                         row.update(_pnm_decode(b))
                     elif b[:8] == _PNG_SIG:
                         # stdlib decoder first (deterministic across
-                        # environments); 16-bit/interlaced fall through
-                        # to PIL when it exists
+                        # environments). Valid-but-uncovered PNGs
+                        # (16-bit / interlaced / sub-byte depths) raise
+                        # NotImplementedError -> PIL when it exists,
+                        # 'unsupported' otherwise; corrupt PNGs raise
+                        # ValueError/zlib.error -> the outer 'error' row
                         try:
                             row.update(_png_decode(b))
-                        except ValueError:
-                            if not have_pil:
-                                raise
-                            row.update(_pil_decode(b))
+                        except NotImplementedError:
+                            if have_pil:
+                                row.update(_pil_decode(b))
+                            else:
+                                row["decode_status"] = "unsupported"
                     elif have_pil:
                         row.update(_pil_decode(b))
                     else:

@@ -233,8 +233,9 @@ def test_image_decode_pnm(spark):
     assert got[2]["width"] == 2 and got[2]["mean_r"] == 100.0
     assert got[2]["mean_r"] == got[2]["mean_g"] == got[2]["mean_b"]
     # a PNG signature with garbage chunks reaches the stdlib PNG decoder
-    # and degrades to a status row (never a task failure)
-    assert got[3]["decode_status"].startswith(("error", "unsupported", "ok"))
+    # and degrades to an ERROR status row (corrupt != unsupported; and
+    # never a task failure)
+    assert got[3]["decode_status"] == "error: ValueError"
     assert got[4]["decode_status"].startswith("error")
     assert got[5]["decode_status"] == "ok"
     assert (got[5]["mean_r"], got[5]["mean_g"], got[5]["mean_b"]) == (10.0, 20.0, 30.0)
@@ -331,7 +332,37 @@ def test_png_decode_all_filters_and_color_types(spark):
         import PIL  # noqa: F401
         assert got[6]["decode_status"] == "ok"          # PIL fallback took it
     except ImportError:
-        assert got[6]["decode_status"] == "error: ValueError"
+        # valid-but-uncovered (Adam7) is a FORMAT gap, not corruption
+        assert got[6]["decode_status"] == "unsupported"
+
+
+def test_png_decoder_bomb_bounded_and_status_taxonomy():
+    import struct
+    import zlib
+
+    def blob(w, h, depth=8, ctype=2, interlace=0, idat=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+    # decompression bomb: a ~100KB IDAT inflating to 100MB must fail the
+    # size check after at most expected+1 inflated bytes — never allocate
+    # the full output (the executor-OOM contract)
+    bomb = zlib.compress(b"\x00" * 100_000_000)
+    with pytest.raises(ValueError, match="raster size mismatch"):
+        dp._png_decode(blob(2, 2, idat=bomb))
+    # zero-dimension images are corrupt, not silently NaN-'ok'
+    raw = zlib.compress(b"\x00")  # 1 filter byte, empty scanline
+    with pytest.raises(ValueError, match="zero-dimension"):
+        dp._png_decode(blob(0, 1, idat=raw))
+    # valid-but-uncovered depths are format gaps (NotImplementedError ->
+    # 'unsupported'), invalid depths are corruption (ValueError)
+    with pytest.raises(NotImplementedError):
+        dp._png_decode(blob(2, 2, depth=16))
+    with pytest.raises(NotImplementedError):
+        dp._png_decode(blob(2, 2, depth=4, ctype=3))
+    with pytest.raises(ValueError, match="invalid bit depth"):
+        dp._png_decode(blob(2, 2, depth=7))
 
 
 def test_corpus_dedup_clusters(spark):
