@@ -220,6 +220,37 @@ def q_kg_priority_boost(spark, sf_dir):
     return boosted.select("uuid", F.round("score", 4).alias("score"))
 
 
+def q_kg_incremental_attach(spark, sf_dir):
+    # incremental community attach under the hard gate (update_community
+    # analog, community_operations.py:343-448): nodes whose canonical
+    # uuid's last hex digit is in INCREMENT_HEX are the "new arrivals";
+    # old labels = LP over the old-only subgraph (deterministic local
+    # fixpoint — the SAME computation materialize() writes for the
+    # oracle); the DuckDB twin re-derives the modal-neighbor rule, the
+    # 3-round cascade AND the unassigned remainder in SQL over
+    # lp_labels_old.parquet + edges_final
+    from kgspark import communities
+    from kgspark.kg_oracle import INCREMENT_HEX, INCREMENT_ROUNDS
+
+    out = _kg(spark)
+    edges, nodes = out["edges"], out["nodes"]
+    old_edges = edges.filter(
+        ~F.substring("source_node_uuid", 32, 1).isin(*INCREMENT_HEX)
+        & ~F.substring("target_node_uuid", 32, 1).isin(*INCREMENT_HEX))
+    labels_old = communities.label_propagation(
+        communities.adjacency(old_edges))
+    inc = communities.update_community(
+        nodes, labels_old, communities.adjacency(edges),
+        max_rounds=INCREMENT_ROUNDS)
+    attached = inc["labels"].join(labels_old, ["group_id", "uuid"],
+                                  "left_anti")
+    return (attached.withColumn("status", F.lit("attached"))
+            .unionByName(
+                inc["unassigned"]
+                .withColumn("community_id", F.lit(None).cast("string"))
+                .withColumn("status", F.lit("unassigned"))))
+
+
 def q_kg_typed_attributes(spark, sf_dir):
     # attribute VALUES extracted from episode content via registry patterns
     # (dynamic-Pydantic fill analog, node_operations.py:303-358), with
@@ -854,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_json_mentions": q_kg_json_mentions,
         "kg_json_triples": q_kg_json_triples,
         "kg_typed_attributes": q_kg_typed_attributes,
+        "kg_incremental_attach": q_kg_incremental_attach,
         "add_triplets": q_add_triplets,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,

@@ -56,6 +56,15 @@ HNS_QUERIES = ["Priya Sharma", "Glowco"]
 HNS_LIMIT = 10
 BATCH_TS_SQL = "TIMESTAMP '2025-01-01'"
 
+# kg_incremental_attach fixture rule: canonical nodes whose uuid's LAST
+# hex digit falls in this set are the "new arrivals" (~25% of an md5-hex
+# uuid space, deterministic on both sides). The old graph = edges whose
+# BOTH endpoints are old; old labels = LP over that subgraph
+# (materialized as lp_labels_old.parquet); the oracle re-derives the
+# modal-neighbor cascade + unassigned set in SQL.
+INCREMENT_HEX = ("0", "1", "2", "3")
+INCREMENT_ROUNDS = 3
+
 # literal fixture shared by q_kg_typed_attributes (__spark_entry__.py) and
 # its oracle — the p2 restatement (later warc_ts) must OVERRIDE p1's
 # country value; p3's Metro has no match and keeps the schema default
@@ -103,6 +112,10 @@ def materialize(spark: SparkSession, pages: DataFrame,
     if emb is None:
         emb = udfs.embed_entities(entities)
     lp = communities.label_propagation(communities.adjacency(edges))
+    old_edges = edges.filter(
+        ~F.substring("source_node_uuid", 32, 1).isin(*INCREMENT_HEX)
+        & ~F.substring("target_node_uuid", 32, 1).isin(*INCREMENT_HEX))
+    lp_old = communities.label_propagation(communities.adjacency(old_edges))
     frames = {
         # url/group/lang/source + raw content: the episode-source oracles
         # (kg_message_speakers / kg_json_*) re-derive extraction from RAW
@@ -117,6 +130,7 @@ def materialize(spark: SparkSession, pages: DataFrame,
         "band_keys": bands.toPandas(),
         "embeddings": emb.toPandas(),
         "lp_labels": lp.toPandas(),
+        "lp_labels_old": lp_old.toPandas(),
         "query_emb": pd.DataFrame({"embedding": [hash_embedding(HYBRID_QUERY)]}),
         # batch-lookup queries (hybrid_node_search twin): one embedding per
         # query, keyed by position
@@ -465,6 +479,60 @@ def oracle_queries(d: str = KG_ORACLE_DIR) -> dict[str, str]:
                'Community of ' || n_members::VARCHAR || ' entities: '
                  || array_to_string(top_names, ', ') AS summary
         FROM cnamed"""
+    # incremental community attach (update_community analog) — the
+    # modal-neighbor rule, the round-by-round cascade (INCREMENT_ROUNDS,
+    # matching the Spark query's max_rounds) and the unassigned remainder,
+    # re-derived from the same materialized old-label table the Spark side
+    # recomputes deterministically (LP local fixpoint)
+    ia = [f"""
+        , lpo AS (SELECT group_id, uuid, community_id
+                  FROM '{d}/lp_labels_old.parquet'),
+        ia_undg AS (
+          -- explicit DISTINCT: inside a WITH RECURSIVE chain DuckDB does
+          -- NOT set-dedup a plain UNION in a non-self-referencing CTE
+          -- (verified 1.x behavior), and the modal count below must see
+          -- each neighbor once, not per parallel edge
+          SELECT DISTINCT group_id, a, b FROM (
+            SELECT group_id, source_node_uuid AS a,
+                   target_node_uuid AS b FROM edges_final
+            UNION ALL
+            SELECT group_id, target_node_uuid, source_node_uuid
+            FROM edges_final) ia_raw),
+        ia_rem0 AS (
+          SELECT v.group_id, v.uuid FROM (
+            SELECT DISTINCT group_id, a AS uuid FROM ia_undg) v
+          LEFT JOIN lpo ON lpo.group_id = v.group_id AND lpo.uuid = v.uuid
+          WHERE lpo.uuid IS NULL),
+        ia_k0 AS (SELECT group_id, uuid, community_id FROM lpo)"""]
+    for rr in range(1, INCREMENT_ROUNDS + 1):
+        ia.append(f""",
+        ia_r{rr} AS (
+          SELECT group_id, a AS uuid, community_id FROM (
+            SELECT u.group_id, u.a, k.community_id,
+                   row_number() OVER (PARTITION BY u.group_id, u.a
+                                      ORDER BY count(*) DESC,
+                                               k.community_id) AS rn
+            FROM ia_undg u
+            JOIN ia_rem{rr - 1} nn
+              ON nn.group_id = u.group_id AND nn.uuid = u.a
+            JOIN ia_k{rr - 1} k
+              ON k.group_id = u.group_id AND k.uuid = u.b
+            GROUP BY u.group_id, u.a, k.community_id) WHERE rn = 1),
+        ia_k{rr} AS (SELECT * FROM ia_k{rr - 1}
+                     UNION ALL SELECT * FROM ia_r{rr}),
+        ia_rem{rr} AS (
+          SELECT nn.group_id, nn.uuid FROM ia_rem{rr - 1} nn
+          LEFT JOIN ia_r{rr} a ON a.group_id = nn.group_id
+                              AND a.uuid = nn.uuid
+          WHERE a.uuid IS NULL)""")
+    q["kg_incremental_attach"] = pre + "".join(ia) + "".join(
+        f"""
+        SELECT group_id, uuid, community_id, 'attached' AS status
+        FROM ia_r{rr}
+        UNION ALL""" for rr in range(1, INCREMENT_ROUNDS + 1)) + f"""
+        SELECT group_id, uuid, NULL::VARCHAR AS community_id,
+               'unassigned' AS status
+        FROM ia_rem{INCREMENT_ROUNDS}"""
     q["kg_bfs"] = pre + """
         , topn AS (SELECT node_uuid FROM mentions GROUP BY node_uuid
                    ORDER BY count(*) DESC, node_uuid LIMIT 1),
