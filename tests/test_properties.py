@@ -98,3 +98,38 @@ def test_driver_contract_consistency():
     assert set(qs) == set(osql)
     assert all(callable(v) for v in qs.values())
     assert all(isinstance(v, str) and v.strip() for v in osql.values())
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_png_decode_roundtrip_random(data):
+    # PNG decoder round-trip vs the independent spec-forward encoder in
+    # test_datapipe: random dimensions, color type and per-row filter
+    # choice — decoded channel means must equal the pixel-array ground
+    # truth EXACTLY (integer sums < 2^53 are exact in float64)
+    import numpy as np
+
+    from kgspark import datapipe as dp
+    from tests.test_datapipe import _make_png
+
+    ctype = data.draw(st.sampled_from([0, 2, 3, 4, 6]), label="ctype")
+    w = data.draw(st.integers(1, 9), label="w")
+    h = data.draw(st.integers(1, 7), label="h")
+    nch_in = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.RandomState(seed)
+    filters = [data.draw(st.integers(0, 4), label=f"f{y}") for y in range(h)]
+    if ctype == 3:
+        plte = rng.randint(0, 256, size=(16, 3))
+        px = rng.randint(0, 16, size=(h, w, 1))
+        truth = plte[px[..., 0]]
+    else:
+        plte = None
+        px = rng.randint(0, 256, size=(h, w, nch_in))
+        truth = (np.repeat(px[..., :1], 3, axis=2) if ctype in (0, 4)
+                 else px[..., :3])
+    got = dp._png_decode(_make_png(px, ctype, filters, plte=plte))
+    assert (got["width"], got["height"]) == (w, h)
+    means = truth.astype(np.float64).mean(axis=(0, 1))
+    assert (got["mean_r"], got["mean_g"], got["mean_b"]) == \
+        (float(means[0]), float(means[1]), float(means[2]))
