@@ -85,6 +85,42 @@ def connected_components(pairs: DataFrame, src: str = "uuid_a", dst: str = "uuid
             .groupBy(group_col).applyInPandas(run, CC_DDL))
 
 
+# Above this many alias pairs in ONE group the single-task union-find
+# stops being the right tool (that group's pairs land in one executor
+# task) — the same threshold datapipe.corpus_dedup uses for its
+# corpus-spanning duplicate graph. 2M string pairs is ~100s of MB in one
+# task: comfortably local; a pathological mega-group is not.
+CC_AUTO_PAIRS = 2_000_000
+
+
+def connected_components_auto(pairs: DataFrame, src: str = "uuid_a",
+                              dst: str = "uuid_b",
+                              group_col: str = "group_id",
+                              auto_pair_threshold: int = CC_AUTO_PAIRS) -> DataFrame:
+    """Strategy-routing closure: one cheap count-by-group agg, then each
+    group takes the right path — local exact union-find below
+    ``auto_pair_threshold`` pairs, distributed min-label propagation above
+    it. Both produce the identical min-uuid canonical mapping (pinned by
+    test_cc_local_matches_iterative + test_cc_auto_mixed_groups_parity),
+    so routing is purely a physical choice. The collected oversize-group
+    id list is small by construction (groups are date×domain buckets;
+    only pathological ones cross the threshold)."""
+    if group_col not in pairs.columns:
+        if pairs.count() > auto_pair_threshold:
+            return connected_components_iterative(pairs, src, dst)
+        return connected_components(pairs, src, dst, group_col)
+    sizes = pairs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    big = [r[group_col] for r in
+           sizes.filter(F.col("n") > auto_pair_threshold).collect()]
+    if not big:
+        return connected_components(pairs, src, dst, group_col)
+    out = connected_components_iterative(
+        pairs.filter(F.col(group_col).isin(big)), src, dst)
+    return connected_components(
+        pairs.filter(~F.col(group_col).isin(big)), src, dst,
+        group_col).unionByName(out)
+
+
 def connected_components_iterative(pairs: DataFrame, src: str = "uuid_a",
                                    dst: str = "uuid_b",
                                    max_iterations: int = MAX_ITERATIONS) -> DataFrame:

@@ -75,6 +75,32 @@ def label_propagation(adj: DataFrame,
             .groupBy("group_id").applyInPandas(run, _LP_DDL))
 
 
+# Above this many adjacency rows in ONE group the local per-group LP
+# fixpoint (one task per group) should yield to the join-per-round
+# distributed form — same auto-switch pattern as cc.CC_AUTO_PAIRS.
+LP_AUTO_EDGES = 2_000_000
+
+
+def label_propagation_auto(adj: DataFrame,
+                           max_iterations: int = MAX_LP_ITERATIONS,
+                           auto_edge_threshold: int = LP_AUTO_EDGES) -> DataFrame:
+    """Strategy-routing LP: one count-by-group agg, then oversize groups
+    run the distributed join-per-round form and everything else the local
+    fixpoint. Both are exact synchronous LP with the same tie-break, so
+    labels are identical (test_lp_local_matches_distributed,
+    test_lp_auto_mixed_groups_parity) and routing is purely physical."""
+    sizes = adj.groupBy("group_id").agg(F.count(F.lit(1)).alias("n"))
+    big = [r["group_id"] for r in
+           sizes.filter(F.col("n") > auto_edge_threshold).collect()]
+    if not big:
+        return label_propagation(adj, max_iterations)
+    out = label_propagation_distributed(
+        adj.filter(F.col("group_id").isin(big)), max_iterations)
+    return label_propagation(
+        adj.filter(~F.col("group_id").isin(big)),
+        max_iterations).unionByName(out)
+
+
 def label_propagation_distributed(adj: DataFrame,
                                   max_iterations: int = MAX_LP_ITERATIONS) -> DataFrame:
     """Join-per-round synchronous LP for groups too large for local
@@ -176,7 +202,7 @@ def build_communities(nodes: DataFrame, edges: DataFrame,
     if group_ids:
         nodes = nodes.filter(F.col("group_id").isin(group_ids))
         edges = edges.filter(F.col("group_id").isin(group_ids))
-    labels = label_propagation(adjacency(edges))
+    labels = label_propagation_auto(adjacency(edges))
     return community_rows(_multi_member_clusters(labels), nodes)
 
 

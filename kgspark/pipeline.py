@@ -153,7 +153,7 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     # pre-execution — AQE converts them to BroadcastHashJoin at runtime
     # from the observed shuffle sizes (asserted on the EXECUTED plan by
     # tools/explain_check.py; a static-plan assertion would false-fail).
-    mapping = cc.connected_components(alias_pairs) \
+    mapping = cc.connected_components_auto(alias_pairs) \
         .localCheckpoint(eager=False)  # ext_uuid -> canonical
     out["alias_map"] = mapping
 

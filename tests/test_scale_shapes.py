@@ -43,6 +43,52 @@ def test_cc_local_matches_iterative(spark):
     assert local  # non-trivial input
 
 
+def test_cc_auto_mixed_groups_parity(spark):
+    # auto routing: with a threshold BETWEEN the two group sizes, one
+    # group takes the local union-find and the other the iterative path —
+    # the unioned mapping must equal all-local (strategy is purely
+    # physical). Also: threshold 0 = all-iterative, huge = all-local.
+    rng = random.Random(13)
+    rows = [("gsmall", "s-a", "s-b"), ("gsmall", "s-b", "s-c")]
+    for _ in range(120):
+        a, b = rng.randint(0, 40), rng.randint(0, 40)
+        if a != b:
+            rows.append(("gbig", f"b-v{a:03d}", f"b-v{b:03d}"))
+    pairs = _pairs_df(spark, rows)
+    want = {(r["uuid"], r["canonical_uuid"])
+            for r in cc.connected_components(pairs).collect()}
+    for thr in (0, 10, 10**9):
+        got = {(r["uuid"], r["canonical_uuid"])
+               for r in cc.connected_components_auto(
+                   pairs, auto_pair_threshold=thr).collect()}
+        assert got == want, f"threshold {thr}"
+    # no-group-column corpus path routes on total count
+    flat = pairs.drop("group_id")
+    got = {(r["uuid"], r["canonical_uuid"])
+           for r in cc.connected_components_auto(
+               flat, auto_pair_threshold=0).collect()}
+    assert got == want
+
+
+def test_lp_auto_mixed_groups_parity(spark):
+    rng = random.Random(17)
+    rows = [("gsmall", "s-x", "s-y")]
+    for _ in range(150):
+        a, b = rng.randint(0, 14), rng.randint(0, 14)
+        if a != b:
+            rows.append(("gbig", f"b-n{a:02d}", f"b-n{b:02d}"))
+    edges = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["group_id", "source_node_uuid", "target_node_uuid"]))
+    adj = communities.adjacency(edges)
+    want = {(r["group_id"], r["uuid"], r["community_id"])
+            for r in communities.label_propagation(adj).collect()}
+    for thr in (0, 10, 10**9):
+        got = {(r["group_id"], r["uuid"], r["community_id"])
+               for r in communities.label_propagation_auto(
+                   adj, auto_edge_threshold=thr).collect()}
+        assert got == want, f"threshold {thr}"
+
+
 def test_cc_canonical_is_min_member(spark):
     # chain a-b-c-d within one group: everyone maps to the minimum uuid
     pairs = _pairs_df(spark, [("g", "d", "c"), ("g", "b", "a"), ("g", "c", "b")])
