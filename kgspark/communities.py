@@ -284,3 +284,29 @@ def update_community(nodes: DataFrame, labels: DataFrame, adj: DataFrame,
     out["labels"] = updated
     out["unassigned"] = remaining
     return out
+
+
+def resolve_unassigned(nodes: DataFrame, labels: DataFrame, adj: DataFrame,
+                       unassigned: DataFrame) -> dict[str, DataFrame]:
+    """Targeted rebuild for ``update_community``'s ``unassigned`` output —
+    the batch-parity completion the reference defers to its next full
+    ``build_communities`` (community_operations.py:396-401 skips these
+    entities until then). LP runs over ONLY the subgraph induced by the
+    unassigned nodes (both endpoints unassigned — by construction they
+    have no labeled neighbors, so this IS their full component and the
+    result equals a whole-graph batch rebuild for these clusters:
+    test_resolve_unassigned_matches_batch), keeping cost proportional to
+    the leftover set, not the graph. Returns the same shape as
+    ``update_community`` plus the new clusters' community rows."""
+    ua = unassigned.select("group_id", F.col("uuid").alias("a"))
+    sub = (adj.join(ua, ["group_id", "a"], "left_semi")
+           .join(unassigned.select("group_id", F.col("uuid").alias("b")),
+                 ["group_id", "b"], "left_semi"))
+    fresh = label_propagation_auto(sub)
+    updated = labels.unionByName(fresh)
+    affected = fresh.select("group_id", "community_id").distinct()
+    members = _multi_member_clusters(updated).join(
+        affected, ["group_id", "community_id"], "left_semi")
+    out = community_rows(members, nodes)
+    out["labels"] = updated
+    return out

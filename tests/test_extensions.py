@@ -591,6 +591,42 @@ def test_update_community_cascade_and_unassigned(spark):
     assert unassigned == {"n9", "n10"}
 
 
+def test_resolve_unassigned_matches_batch(spark):
+    # the targeted rebuild for unassigned co-arriving clusters must emit
+    # community rows IDENTICAL to a whole-graph batch rebuild (LP over the
+    # unassigned-only subgraph IS their full component), at cost
+    # proportional to the leftover set
+    edges_old = _toy_graph(spark)
+    labels = communities.label_propagation(communities.adjacency(edges_old))
+    extra = spark.createDataFrame(pd.DataFrame(
+        [("g", "n9", "n10"), ("g", "n10", "n11"), ("g", "n9", "n11")],
+        columns=["group_id", "source_node_uuid", "target_node_uuid"]))
+    edges_new = edges_old.unionByName(extra)
+    nodes = (edges_new.select(F.col("source_node_uuid").alias("uuid"))
+             .union(edges_new.select("target_node_uuid"))
+             .distinct()
+             .select("uuid", F.col("uuid").alias("name"),
+                     F.lit("g").alias("group_id")))
+    adj = communities.adjacency(edges_new)
+    inc = communities.update_community(nodes, labels, adj)
+    assert {r["uuid"] for r in inc["unassigned"].collect()} == \
+        {"n9", "n10", "n11"}
+    res = communities.resolve_unassigned(
+        nodes, inc["labels"], adj, inc["unassigned"])
+    batch = {r["uuid"]: r for r in communities.build_communities(
+        nodes, edges_new)["communities"].collect()}
+    got = {r["uuid"]: r for r in res["communities"].collect()}
+    assert got, "the new cluster must materialize"
+    for cu, row in got.items():
+        assert row["summary"] == batch[cu]["summary"]
+        assert row["name"] == batch[cu]["name"]
+        assert row["n_members"] == batch[cu]["n_members"]
+    # full vertex coverage after resolution: nobody is left unlabeled
+    assert {r["uuid"] for r in res["labels"].collect()} == \
+        {r["uuid"] for r in
+         adj.select(F.col("a").alias("uuid")).distinct().collect()}
+
+
 def test_hf_cross_scorer_env_gated():
     # the real-model factory raises a descriptive ImportError here (no model
     # runtime in-sandbox) and the hook signature stays pluggable
