@@ -104,7 +104,9 @@ def connected_components_auto(pairs: DataFrame, src: str = "uuid_a",
     test_cc_local_matches_iterative + test_cc_auto_mixed_groups_parity),
     so routing is purely a physical choice. The collected oversize-group
     id list is small by construction (groups are date×domain buckets;
-    only pathological ones cross the threshold)."""
+    only pathological ones cross the threshold). The iterative form's
+    pointer doubling makes its round count O(log diameter), so routing a
+    long alias chain to it is safe — 24 rounds cover diameter ~2^24."""
     if group_col not in pairs.columns:
         if pairs.count() > auto_pair_threshold:
             return connected_components_iterative(pairs, src, dst)
@@ -116,18 +118,31 @@ def connected_components_auto(pairs: DataFrame, src: str = "uuid_a",
         return connected_components(pairs, src, dst, group_col)
     out = connected_components_iterative(
         pairs.filter(F.col(group_col).isin(big)), src, dst)
+    # NULL-safe small branch: isin(big) is NULL (not false) for NULL group
+    # ids, so `~isin(big)` alone would silently drop every null-group pair
+    # whenever any group crosses the threshold. Nulls can never be in the
+    # collected big list (groupBy keeps them as their own key), so they
+    # always belong to the small branch.
     return connected_components(
-        pairs.filter(~F.col(group_col).isin(big)), src, dst,
+        pairs.filter(~F.col(group_col).isin(big)
+                     | F.col(group_col).isNull()), src, dst,
         group_col).unionByName(out)
 
 
 def connected_components_iterative(pairs: DataFrame, src: str = "uuid_a",
                                    dst: str = "uuid_b",
                                    max_iterations: int = MAX_ITERATIONS) -> DataFrame:
-    """Distributed min-label propagation for groups whose pair sets exceed
-    local memory. Rounds run in BURSTs of 4 between convergence checks;
-    raises RuntimeError on non-convergence (a silently split component would
-    diverge from the oracle's union-find with no signal)."""
+    """Distributed min-label propagation with POINTER DOUBLING for groups
+    whose pair sets exceed local memory. Plain min-label propagation moves
+    the component minimum one hop per round — O(diameter) rounds, so a long
+    alias chain (diameter > max_iterations) would fail where the local
+    union-find handles any diameter. Each round therefore also shortcuts
+    label(v) <- label(label(v)) (labels ARE vertex ids, so the lookup is a
+    self-join), halving the remaining chain depth: convergence is
+    O(log diameter), and 24 rounds cover diameters up to ~2^24. Rounds run
+    in BURSTs of 4 between convergence checks; raises RuntimeError on
+    non-convergence (a silently split component would diverge from the
+    oracle's union-find with no signal)."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -142,8 +157,16 @@ def connected_components_iterative(pairs: DataFrame, src: str = "uuid_a",
             edges.join(lbl.withColumnRenamed("v", "b"), "b")
             .select(F.col("a").alias("v"), "label")
         )
-        return (lbl.union(neighbor_labels)
-                .groupBy("v").agg(F.min("label").alias("label")))
+        merged = (lbl.union(neighbor_labels)
+                  .groupBy("v").agg(F.min("label").alias("label")))
+        # pointer doubling: label(v) <- min(label(v), label(label(v))).
+        # Labels only ever decrease and always name a vertex of the same
+        # component, so the shortcut preserves the invariant while cutting
+        # chain depth in half each round.
+        via = merged.select(F.col("v").alias("label"),
+                            F.col("label").alias("label2"))
+        return (merged.join(via, "label", "left")
+                .select("v", F.coalesce("label2", "label").alias("label")))
 
     rounds, converged = 0, False
     while rounds < max_iterations:

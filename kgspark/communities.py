@@ -96,8 +96,12 @@ def label_propagation_auto(adj: DataFrame,
         return label_propagation(adj, max_iterations)
     out = label_propagation_distributed(
         adj.filter(F.col("group_id").isin(big)), max_iterations)
+    # NULL-safe small branch: isin(big) evaluates to NULL for NULL group
+    # ids, so `~isin(big)` alone would drop null-group rows whenever any
+    # group crosses the threshold (same guard as connected_components_auto).
     return label_propagation(
-        adj.filter(~F.col("group_id").isin(big)),
+        adj.filter(~F.col("group_id").isin(big)
+                   | F.col("group_id").isNull()),
         max_iterations).unionByName(out)
 
 
@@ -209,18 +213,51 @@ def build_communities(nodes: DataFrame, edges: DataFrame,
 def entity_community(labels: DataFrame, adj: DataFrame) -> DataFrame:
     """Incremental-attach analog (determine_entity_community,
     community_operations.py:343-387): a node's community = mode of its
-    neighbors' communities, ties to the lowest id."""
+    neighbors' communities, ties to the lowest id. The vote is weighted by
+    edge MULTIPLICITY (the adjacency ``weight`` column) — the reference
+    counts per RELATES_TO relationship, not per distinct neighbor, so
+    parallel edges weight the modal vote there and must here too (same
+    weighting LP already uses)."""
     nbr = (
         adj.join(labels.select(F.col("uuid").alias("b"), "group_id",
                                F.col("community_id").alias("c")),
                  ["group_id", "b"])
         .groupBy("group_id", "a", "c")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("weight").alias("n"))
     )
     w = Window.partitionBy("group_id", "a").orderBy(F.desc("n"), F.asc("c"))
     return (nbr.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
             .select("group_id", F.col("a").alias("uuid"),
                     F.col("c").alias("community_id")))
+
+
+def _attach_cascade(labels: DataFrame, adj: DataFrame, remaining: DataFrame,
+                    max_rounds: int | None) -> tuple[DataFrame, DataFrame]:
+    """Modal-neighbor attach passes until nothing new attaches (or
+    ``max_rounds`` passes elapse; ``None`` = run to the true fixpoint —
+    each pass attaches at least one node or stops, so it terminates in at
+    most |remaining| passes). Returns (attach, remaining): the attached
+    label rows and the nodes still unlabeled."""
+    attach = None
+    known = labels
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        adj_rem = adj.join(remaining.select("group_id",
+                                            F.col("uuid").alias("a")),
+                           ["group_id", "a"], "left_semi")
+        got = entity_community(known, adj_rem).localCheckpoint(eager=False)
+        if got.isEmpty():
+            break
+        attach = got if attach is None else attach.unionByName(got)
+        known = known.unionByName(got)
+        remaining = (remaining.join(got, ["group_id", "uuid"], "left_anti")
+                     .localCheckpoint(eager=False))
+        if remaining.isEmpty():
+            break
+    if attach is None:
+        attach = labels.limit(0)
+    return attach, remaining
 
 
 def update_community(nodes: DataFrame, labels: DataFrame, adj: DataFrame,
@@ -237,7 +274,10 @@ def update_community(nodes: DataFrame, labels: DataFrame, adj: DataFrame,
     {"communities": regenerated rows for the AFFECTED communities only,
      "community_members": their HAS_MEMBER edges,
      "labels": the updated label table,
-     "unassigned": new nodes with no path to any labeled node}. The
+     "unassigned": new nodes not attached within the ``max_rounds`` cascade
+     budget — genuinely isolated clusters, plus (when a chain of new nodes
+     is longer than ``max_rounds`` hops) truncated chains that DO still
+     reach labeled nodes; ``resolve_unassigned`` completes both kinds}. The
     community rows are produced by the same template as the batch build
     (``community_rows``), so an attach followed by a persist (e.g.
     ``io.merge_upsert(.., "communities", out["communities"])``) equals a
@@ -258,24 +298,7 @@ def update_community(nodes: DataFrame, labels: DataFrame, adj: DataFrame,
     new_nodes = (adj.select("group_id", F.col("a").alias("uuid")).distinct()
                  .join(labels, ["group_id", "uuid"], "left_anti")
                  .localCheckpoint(eager=False))
-    attach = None
-    known = labels
-    remaining = new_nodes
-    for _ in range(max_rounds):
-        adj_rem = adj.join(remaining.select("group_id",
-                                            F.col("uuid").alias("a")),
-                           ["group_id", "a"], "left_semi")
-        got = entity_community(known, adj_rem).localCheckpoint(eager=False)
-        if got.isEmpty():
-            break
-        attach = got if attach is None else attach.unionByName(got)
-        known = known.unionByName(got)
-        remaining = (remaining.join(got, ["group_id", "uuid"], "left_anti")
-                     .localCheckpoint(eager=False))
-        if remaining.isEmpty():
-            break
-    if attach is None:
-        attach = labels.limit(0)
+    attach, remaining = _attach_cascade(labels, adj, new_nodes, max_rounds)
     updated = labels.unionByName(attach)
     affected = attach.select("group_id", "community_id").distinct()
     members = _multi_member_clusters(updated).join(
@@ -291,20 +314,34 @@ def resolve_unassigned(nodes: DataFrame, labels: DataFrame, adj: DataFrame,
     """Targeted rebuild for ``update_community``'s ``unassigned`` output —
     the batch-parity completion the reference defers to its next full
     ``build_communities`` (community_operations.py:396-401 skips these
-    entities until then). LP runs over ONLY the subgraph induced by the
-    unassigned nodes (both endpoints unassigned — by construction they
-    have no labeled neighbors, so this IS their full component and the
-    result equals a whole-graph batch rebuild for these clusters:
-    test_resolve_unassigned_matches_batch), keeping cost proportional to
-    the leftover set, not the graph. Returns the same shape as
-    ``update_community`` plus the new clusters' community rows."""
-    ua = unassigned.select("group_id", F.col("uuid").alias("a"))
+    entities until then). Two stages:
+
+    1. **Truncation fallback**: ``unassigned`` can contain chains that DO
+       reach labeled nodes but were cut off by ``update_community``'s
+       ``max_rounds`` budget; minting a new community for those would
+       diverge from a batch rebuild. The attach cascade therefore first
+       runs to its TRUE fixpoint (unbounded passes — each pass attaches at
+       least one node or stops) so every node with a transitive labeled
+       path joins its real community.
+    2. **Isolated clusters**: LP over ONLY the subgraph induced by the
+       still-unlabeled rest (both endpoints unlabeled — after stage 1 they
+       have no labeled neighbors, so this IS their full component and the
+       result equals a whole-graph batch rebuild for these clusters:
+       test_resolve_unassigned_matches_batch).
+
+    Cost stays proportional to the leftover set, not the graph. Returns the
+    same shape as ``update_community``: community rows regenerated for every
+    community touched by either stage, plus the completed label table."""
+    attach, remaining = _attach_cascade(labels, adj, unassigned, None)
+    ua = remaining.select("group_id", F.col("uuid").alias("a"))
     sub = (adj.join(ua, ["group_id", "a"], "left_semi")
-           .join(unassigned.select("group_id", F.col("uuid").alias("b")),
+           .join(remaining.select("group_id", F.col("uuid").alias("b")),
                  ["group_id", "b"], "left_semi"))
     fresh = label_propagation_auto(sub)
-    updated = labels.unionByName(fresh)
-    affected = fresh.select("group_id", "community_id").distinct()
+    updated = labels.unionByName(attach).unionByName(fresh)
+    affected = (attach.select("group_id", "community_id")
+                .unionByName(fresh.select("group_id", "community_id"))
+                .distinct())
     members = _multi_member_clusters(updated).join(
         affected, ["group_id", "community_id"], "left_semi")
     out = community_rows(members, nodes)

@@ -488,11 +488,12 @@ def oracle_queries(d: str = KG_ORACLE_DIR) -> dict[str, str]:
         , lpo AS (SELECT group_id, uuid, community_id
                   FROM '{d}/lp_labels_old.parquet'),
         ia_undg AS (
-          -- explicit DISTINCT: inside a WITH RECURSIVE chain DuckDB does
-          -- NOT set-dedup a plain UNION in a non-self-referencing CTE
-          -- (verified 1.x behavior), and the modal count below must see
-          -- each neighbor once, not per parallel edge
-          SELECT DISTINCT group_id, a, b FROM (
+          -- NO dedup: the modal vote is weighted by edge multiplicity
+          -- (the reference's determine_entity_community counts per
+          -- RELATES_TO relationship, not per distinct neighbor), so each
+          -- parallel edge contributes one row and count(*) below equals
+          -- the Spark side's sum(weight) over the aggregated adjacency
+          SELECT group_id, a, b FROM (
             SELECT group_id, source_node_uuid AS a,
                    target_node_uuid AS b FROM edges_final
             UNION ALL

@@ -693,3 +693,50 @@ def test_cross_encoder_rank_contract(spark):
     res = cross_encoder_rerank(one, "fact", "Test query").collect()
     assert len(res) == 1 and res[0]["uuid"] == "9"
     assert isinstance(res[0]["ce_score"], float)
+
+def test_entity_community_weights_parallel_edges(spark):
+    # ADVICE r3: the reference's determine_entity_community counts per
+    # RELATES_TO relationship — 3 parallel edges to one community-A
+    # neighbor must outvote 2 distinct community-B neighbors
+    adj = spark.createDataFrame(pd.DataFrame(
+        [("g", "x", "a1", 3), ("g", "x", "b1", 1), ("g", "x", "b2", 1)],
+        columns=["group_id", "a", "b", "weight"]),
+        schema="group_id string, a string, b string, weight long")
+    labels = spark.createDataFrame(pd.DataFrame(
+        [("g", "a1", "cA"), ("g", "b1", "cB"), ("g", "b2", "cB")],
+        columns=["group_id", "uuid", "community_id"]))
+    got = {r["uuid"]: r["community_id"]
+           for r in communities.entity_community(labels, adj).collect()}
+    assert got["x"] == "cA"
+
+
+def test_resolve_unassigned_attaches_truncated_chains(spark):
+    # ADVICE r3: when update_community's cascade is truncated by max_rounds
+    # mid-chain, the leftover nodes still reach labeled nodes;
+    # resolve_unassigned must ATTACH them to their true community, not mint
+    # a new one (which would diverge from a batch rebuild)
+    edges_old = _toy_graph(spark)
+    labels = communities.label_propagation(communities.adjacency(edges_old))
+    chain = [("g", "m1", "n1"), ("g", "m2", "m1"), ("g", "m3", "m2"),
+             ("g", "m4", "m3"), ("g", "m5", "m4")]
+    edges_new = edges_old.unionByName(spark.createDataFrame(pd.DataFrame(
+        chain, columns=["group_id", "source_node_uuid", "target_node_uuid"])))
+    nodes = (edges_new.select(F.col("source_node_uuid").alias("uuid"))
+             .union(edges_new.select("target_node_uuid"))
+             .distinct()
+             .select("uuid", F.col("uuid").alias("name"),
+                     F.lit("g").alias("group_id")))
+    adj = communities.adjacency(edges_new)
+    inc = communities.update_community(nodes, labels, adj, max_rounds=2)
+    assert {r["uuid"] for r in inc["unassigned"].collect()} == \
+        {"m3", "m4", "m5"}  # truncated, NOT isolated
+    res = communities.resolve_unassigned(
+        nodes, inc["labels"], adj, inc["unassigned"])
+    lbl = {r["uuid"]: r["community_id"] for r in res["labels"].collect()}
+    full = {r["uuid"]: r["community_id"]
+            for r in communities.update_community(
+                nodes, labels, adj, max_rounds=10)["labels"].collect()}
+    assert lbl == full  # equals the untruncated cascade
+    n1_comm = {r["uuid"]: r["community_id"]
+               for r in labels.collect()}["n1"]
+    assert lbl["m5"] == n1_comm  # joined the real community, no new mint

@@ -204,3 +204,48 @@ def test_dedup_single_phase_plan_and_salted_parity(spark):
     a = freeze(dedup.dedup_edges(t).collect())
     b = freeze(dedup.dedup_edges(t, n_salts=8).collect())
     assert a == b and len(a) > 50
+
+
+def test_cc_auto_null_group_rows_survive(spark):
+    # ADVICE r3: with any group over the threshold, the small branch's
+    # ~isin(big) filter evaluated to NULL (not true) for NULL group ids and
+    # silently dropped those pairs; they must route to the local branch
+    rows = [("gbig", "b-a", "b-b"), ("gbig", "b-b", "b-c"),
+            ("gbig", "b-c", "b-d"),
+            (None, "n-x", "n-y"), (None, "n-y", "n-z")]
+    pairs = _pairs_df(spark, rows)
+    got = {r["uuid"]: r["canonical_uuid"]
+           for r in cc.connected_components_auto(
+               pairs, auto_pair_threshold=2).collect()}
+    assert got["n-x"] == got["n-y"] == got["n-z"] == "n-x"
+    assert got["b-a"] == got["b-d"] == "b-a"
+
+
+def test_lp_auto_null_group_rows_survive(spark):
+    rows = [("gbig", f"b-n{a}", f"b-n{b}") for a, b in
+            [(0, 1), (1, 2), (0, 2), (2, 3)]] + \
+        [(None, "x", "y"), (None, "y", "x")]
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["group_id", "source_node_uuid",
+                                    "target_node_uuid"]),
+        schema=("group_id string, source_node_uuid string, "
+                "target_node_uuid string"))
+    adj = communities.adjacency(edges)
+    got = {r["uuid"] for r in communities.label_propagation_auto(
+        adj, auto_edge_threshold=3).collect()}
+    assert {"x", "y"} <= got, "null-group rows must survive auto routing"
+
+
+def test_cc_iterative_long_chain_converges(spark):
+    # ADVICE r3: plain min-label propagation needs O(diameter) rounds, so a
+    # 200-hop alias chain would blow the 24-round budget; pointer doubling
+    # makes it O(log diameter) and must still match the exact union-find
+    n = 200
+    rows = [("g", f"v{i:03d}", f"v{i + 1:03d}") for i in range(n)]
+    pairs = _pairs_df(spark, rows)
+    want = {(r["uuid"], r["canonical_uuid"])
+            for r in cc.connected_components(pairs).collect()}
+    got = {(r["uuid"], r["canonical_uuid"])
+           for r in cc.connected_components_iterative(pairs).collect()}
+    assert got == want
+    assert all(c == "v000" for _, c in got)
