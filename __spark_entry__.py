@@ -400,21 +400,6 @@ def q_pagination(spark, sf_dir):
     )
 
 
-def q_two_hop_counts(spark, sf_dir):
-    # BFS 2-hop neighborhood size analog (search_utils.py:274-326):
-    # customer -> nation -> sibling customers
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    sib = c.withColumnRenamed("c_custkey", "sib_key")
-    return (
-        c.filter(F.col("c_custkey") <= 30)
-        .join(sib, "c_nationkey")
-        .filter(F.col("sib_key") != F.col("c_custkey"))
-        .groupBy("c_custkey")
-        .agg(F.count(F.lit(1)).alias("two_hop_neighbors"))
-        .orderBy("c_custkey")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Window-function operators (temporal pass / dedup / context window analogs,
 # SURVEY.md §2.4/§2.8)
@@ -461,19 +446,6 @@ def q_context_window(spark, sf_dir):
     )
 
 
-def q_provenance_sets(spark, sf_dir):
-    # provenance episode-set merge (edge_operations.py:186-187):
-    # collect_set + deterministic ordering
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(F.array_join(F.array_sort(F.collect_set(F.col("o_orderkey").cast("string"))), ",")
-             .alias("order_keys"),
-             F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_custkey")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Search / rerank operators (SURVEY.md §2.6)
 # ---------------------------------------------------------------------------
@@ -487,53 +459,34 @@ def q_mention_count_rerank(spark, sf_dir):
     )
 
 
-def q_rrf_fusion(spark, sf_dir):
-    # reciprocal-rank fusion (rrf, search_utils.py:721-732): two rankings of
-    # users (by event count / by total value) fused with 1/(rank+1)
-    e = _t(spark, sf_dir, "events")
-    by_count = (
-        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("m"))
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("m"), F.col("user_id"))))
-        .select("user_id", "rank")
-    )
-    by_value = (
-        e.groupBy("user_id")
-        .agg(F.round(F.sum(_dec("value")), 2).alias("v"))
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("v"), F.col("user_id"))))
-        .select("user_id", "rank")
-    )
-    return (
-        by_count.union(by_value)
-        .groupBy("user_id")
-        .agg(F.round(F.sum(1.0 / (F.col("rank") + 1)), 6).alias("rrf_score"))
-        .orderBy(F.desc("rrf_score"), "user_id")
-        .limit(20)
-    )
+# per-(sf_dir) persisted fulltext index paths — built once per process, the
+# way a real deployment builds the index once and queries it many times
+_BM25_INDEX_PATHS: dict[str, str] = {}
 
 
-def q_bm25_full(spark, sf_dir):
+def q_bm25_indexed(spark, sf_dir):
     # Lucene-formula BM25 (IDF + length norm, k1=1.2 b=0.75) over documents
-    # (kgspark/fulltext.py; reference search_utils.py:143-194 via Lucene)
+    # through the PERSISTED fulltext index (build_indices_and_constraints
+    # analog, graph_data_operations.py:73-80; queried per-search like
+    # search_utils.py:143-194): postings partitioned by term-hash bucket,
+    # the query scans only its terms' partitions. Same DuckDB oracle as the
+    # scan-side bm25_search, which pytest pins to this path to float
+    # precision (test_bm25_indexed_matches_scan).
+    import atexit
+    import shutil
+    import tempfile
+
     from kgspark import fulltext as flt
-    d = _t(spark, sf_dir, "documents")
-    return (flt.bm25_search(d, "text", "scan join filter", limit=25,
-                            id_col="doc_id")
+    path = _BM25_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="kgspark_bm25_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        flt.build_fulltext_index(_t(spark, sf_dir, "documents"), "text",
+                                 path, id_col="doc_id")
+        _BM25_INDEX_PATHS[sf_dir] = path
+    return (flt.bm25_query_indexed(spark, path, "scan join filter",
+                                   limit=25, id_col="doc_id")
             .select("doc_id", F.round("score", 6).alias("score")))
-
-
-def q_bm25_lite(spark, sf_dir):
-    # fulltext scoring analog (edge_fulltext_search, search_utils.py:143-194):
-    # per-doc term-frequency scoring for a fixed query, top-k
-    d = _t(spark, sf_dir, "documents")
-    tf_scan = F.size(F.expr(r"regexp_extract_all(text, 'scan', 0)"))
-    tf_join = F.size(F.expr(r"regexp_extract_all(text, 'join', 0)"))
-    return (
-        d.withColumn("score", tf_scan + tf_join)
-        .filter(F.col("score") > 0)
-        .select("doc_id", "score")
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(25)
-    )
 
 
 def q_json_extract(spark, sf_dir):
@@ -558,35 +511,6 @@ def q_exact_dup_docs(spark, sf_dir):
         .groupBy("text_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .orderBy("text_hash")
-    )
-
-
-def q_token_stats(spark, sf_dir):
-    # token counting + quality scoring (length / token counts)
-    d = _t(spark, sf_dir, "documents")
-    toks = F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")
-    return (
-        d.select(
-            "doc_id",
-            F.length("text").alias("n_chars_actual"),
-            F.size(toks).alias("n_tokens"),
-            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def q_lang_id(spark, sf_dir):
-    # heuristic language-ID: English stopword evidence
-    d = _t(spark, sf_dir, "documents")
-    the_count = F.size(F.expr(r"regexp_extract_all(text, '\\bthe\\b', 0)"))
-    return (
-        d.select(
-            "doc_id", "lang",
-            the_count.alias("en_evidence"),
-            F.when(the_count >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -893,19 +817,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "orphan_customers": q_orphan_customers,
         "pagination": q_pagination,
-        "two_hop_counts": q_two_hop_counts,
         "temporal_close": q_temporal_close,
         "dedup_keep_first": q_dedup_keep_first,
         "context_window": q_context_window,
-        "provenance_sets": q_provenance_sets,
         "mention_count_rerank": q_mention_count_rerank,
-        "rrf_fusion": q_rrf_fusion,
-        "bm25_full": q_bm25_full,
-        "bm25_lite": q_bm25_lite,
+        "bm25_indexed": q_bm25_indexed,
         "json_extract": q_json_extract,
         "exact_dup_docs": q_exact_dup_docs,
-        "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
         "minhash_fingerprint": q_minhash_fingerprint,
         "neardup_pairs": q_neardup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -978,13 +896,6 @@ def oracle_sql() -> dict[str, str]:
               FROM part) t
             WHERE rn > 20 AND rn <= 40
         """,
-        "two_hop_counts": """
-            SELECT c.c_custkey, count(*) AS two_hop_neighbors
-            FROM customer c JOIN customer s
-              ON c.c_nationkey = s.c_nationkey AND s.c_custkey <> c.c_custkey
-            WHERE c.c_custkey <= 30
-            GROUP BY c.c_custkey ORDER BY c.c_custkey
-        """,
         "temporal_close": """
             SELECT event_id, user_id, event_type, ts AS valid_at,
                    lead(ts) OVER (PARTITION BY user_id, event_type
@@ -1007,31 +918,11 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS prev_context
             FROM events ORDER BY event_id
         """,
-        "provenance_sets": """
-            SELECT o_custkey,
-                   string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey::VARCHAR)
-                       AS order_keys,
-                   count(*) AS n_orders
-            FROM orders GROUP BY o_custkey ORDER BY o_custkey
-        """,
         "mention_count_rerank": """
             SELECT user_id, count(*) AS n_mentions FROM events
             GROUP BY user_id ORDER BY n_mentions DESC, user_id LIMIT 20
         """,
-        "rrf_fusion": """
-            WITH by_count AS (
-              SELECT user_id, row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
-              FROM events GROUP BY user_id),
-            by_value AS (
-              SELECT user_id, row_number() OVER (
-                  ORDER BY round(sum(value::DECIMAL(18,4)), 2) DESC, user_id) AS rank
-              FROM events GROUP BY user_id),
-            unioned AS (SELECT * FROM by_count UNION ALL SELECT * FROM by_value)
-            SELECT user_id, round(sum(1.0 / (rank + 1)), 6) AS rrf_score
-            FROM unioned GROUP BY user_id
-            ORDER BY rrf_score DESC, user_id LIMIT 20
-        """,
-        "bm25_full": """
+        "bm25_indexed": """
             WITH toks AS (
               SELECT doc_id, unnest(list_filter(
                   string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1205,15 +1096,6 @@ def oracle_sql() -> dict[str, str]:
                    'stub' AS decode_status
             FROM documents ORDER BY id
         """,
-        "bm25_lite": """
-            SELECT doc_id,
-                   len(regexp_extract_all(text, 'scan')) +
-                   len(regexp_extract_all(text, 'join')) AS score
-            FROM documents
-            WHERE len(regexp_extract_all(text, 'scan')) +
-                  len(regexp_extract_all(text, 'join')) > 0
-            ORDER BY score DESC, doc_id LIMIT 25
-        """,
         "json_extract": """
             SELECT json_extract_string(props, '$.k') AS k_val, count(*) AS n
             FROM events GROUP BY k_val ORDER BY k_val
@@ -1222,20 +1104,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, count(*) AS n_docs,
                    min(doc_id) AS keep_doc_id
             FROM documents GROUP BY md5(text) ORDER BY text_hash
-        """,
-        "token_stats": """
-            SELECT doc_id, length(text) AS n_chars_actual,
-                   len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
-                   len(list_distinct(regexp_extract_all(text, '[a-z0-9]+')))
-                       AS n_unique_tokens
-            FROM documents ORDER BY doc_id
-        """,
-        "lang_id": r"""
-            SELECT doc_id, lang,
-                   len(regexp_extract_all(text, '\bthe\b')) AS en_evidence,
-                   CASE WHEN len(regexp_extract_all(text, '\bthe\b')) >= 2
-                        THEN 'en' ELSE 'other' END AS lang_pred
-            FROM documents ORDER BY doc_id
         """,
         "minhash_fingerprint": """
             SELECT doc_id,

@@ -118,11 +118,15 @@ def run_default() -> None:
 
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
+    # r4: provenance_sets / rrf_fusion / token_stats were retired from the
+    # driver surface (subsumed twins — see README); their headline slots go
+    # to live queries of the same cost class (token_counts, bm25_indexed,
+    # quality_score) so the sum stays 15 queries wide
     headline = ["pricing_summary", "top_revenue_orders", "regional_revenue",
                 "temporal_close", "dedup_keep_first", "context_window",
-                "provenance_sets", "rrf_fusion", "neardup_pairs",
+                "token_counts", "bm25_indexed", "neardup_pairs",
                 "ngram_jaccard", "ann_cosine_topk", "exact_dup_docs",
-                "token_stats", "corpus_dedup", "sessionization"]
+                "quality_score", "corpus_dedup", "sessionization"]
     times: dict[str, float] = {}
     total0 = time.time()
     tick0, steal0 = _cpu_ticks()

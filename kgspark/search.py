@@ -259,6 +259,22 @@ def episode_mention_sort(edges: DataFrame) -> DataFrame:
     return edges.orderBy(F.size("episodes").desc(), "uuid")
 
 
+def episodes_by_mentions(edges: DataFrame, episodes: DataFrame,
+                         limit: int = 10) -> DataFrame:
+    """Edges→provenance-episodes reverse lookup (get_episodes_by_mentions,
+    search_utils.py:76-88; default limit = RELEVANT_SCHEMA_LIMIT = 10):
+    the episodes recorded in the given edges' ``episodes`` provenance
+    arrays. The reference flattens the arrays in edge-list order and
+    truncates before the uuid fetch; here the explode+distinct stays fully
+    distributed and the limit takes a deterministic prefix (episode-uuid
+    order) — the retrieved set is the same whenever limit covers it. The
+    ≤limit id set broadcasts into the semi join, so the episode scan is the
+    only corpus-sized side."""
+    ep_ids = (edges.select(F.explode("episodes").alias("uuid"))
+              .distinct().orderBy("uuid").limit(limit))
+    return episodes.join(F.broadcast(ep_ids), "uuid", "left_semi")
+
+
 def nodes_and_edges_by_episode(episode_uuids: list[str], episodes: DataFrame,
                                edges: DataFrame, mentions: DataFrame,
                                nodes: DataFrame) -> dict[str, DataFrame]:

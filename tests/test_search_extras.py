@@ -42,3 +42,26 @@ def test_nodes_and_edges_by_episode(spark, graph):
     got_edges = {r["uuid"] for r in out["edges"].collect()}
     assert got_edges == set(ep["entity_edges"])
     assert out["nodes"].count() > 0
+
+
+def test_episodes_by_mentions(spark, graph):
+    # reverse of nodes_and_edges_by_episode (get_episodes_by_mentions,
+    # search_utils.py:76-88): the provenance episodes of a set of edges
+    some_edges = graph["edges"].orderBy("uuid").limit(5).localCheckpoint()
+    want = {u for r in some_edges.select("episodes").collect()
+            for u in r["episodes"]}
+    got = {r["uuid"] for r in
+           ks.episodes_by_mentions(some_edges, graph["episodes"],
+                                   limit=10_000).collect()}
+    assert got == want and got
+    # limit takes a deterministic prefix in episode-uuid order
+    lim = {r["uuid"] for r in
+           ks.episodes_by_mentions(some_edges, graph["episodes"],
+                                   limit=2).collect()}
+    assert lim == set(sorted(want)[:2])
+    # round trip: every returned episode mentions at least one of the edges
+    back = ks.nodes_and_edges_by_episode(
+        sorted(got), graph["episodes"], graph["edges"], graph["mentions"],
+        graph["nodes"])
+    edge_ids = {r["uuid"] for r in back["edges"].select("uuid").collect()}
+    assert {r["uuid"] for r in some_edges.select("uuid").collect()} <= edge_ids
