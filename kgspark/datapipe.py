@@ -163,20 +163,46 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_neardups(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", prefix_bits: int = 16,
+                     text_col: str = "text", n_bands: int = 4,
                      max_hamming: int = 3,
                      band_cap: int = DEFAULT_BAND_CAP) -> DataFrame:
-    """SimHash near-dups: block on the top ``prefix_bits`` of the signature,
-    exact Hamming distance within blocks."""
-    sh = simhash(docs, id_col, text_col)
-    blocked = sh.withColumn(
-        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
-    sizes = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("bc"))
-    bounded = blocked.join(
-        sizes.filter((F.col("bc") >= 2) & (F.col("bc") <= band_cap)), "block")
-    a = bounded.select("block", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = bounded.select("block", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    return (a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    """SimHash near-dups with MULTI-BAND blocking (r3 verdict wrong #4: the
+    old single top-16-bit prefix block missed any near-pair whose flips hit
+    those exact bits — the standard single-band LSH recall gap its MinHash
+    sibling avoids). The 64-bit signature splits into ``n_bands`` disjoint
+    equal-width bands; candidates = pairs agreeing EXACTLY on at least one
+    band, produced by melting each doc into ``n_bands`` (band, value) rows
+    in one projection and self-joining on (band, value) — the same
+    melted-ONE-shuffle shape as the MinHash path. By pigeonhole a pair
+    within Hamming distance h < n_bands shares at least one untouched band,
+    so for ``max_hamming <= n_bands - 1`` (the defaults: 3 < 4) blocking is
+    LOSSLESS, not just high-recall. Exact bit_count rescore; per-(band,
+    value) blocks above ``band_cap`` are skipped like every other blocking
+    stage (explicit cap, logged nowhere silently — the cap is a parameter)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    # lazy checkpoint: the Arrow simhash stage feeds both sides of the
+    # self-join and the size agg — materialize the signatures once
+    sh = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("simhash", i * width)
+                 .bitwiseAND(F.lit(mask)).alias("bval"))
+        for i in range(n_bands)])
+    melted = (sh.select("id", "simhash", F.explode(bands).alias("bb"))
+              .select("id", "simhash", F.col("bb.band").alias("band"),
+                      F.col("bb.bval").alias("bval")))
+    sizes = melted.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bc"))
+    bounded = melted.join(
+        sizes.filter((F.col("bc") >= 2) & (F.col("bc") <= band_cap)),
+        ["band", "bval"])
+    a = bounded.select("band", "bval", F.col("id").alias("id_a"),
+                       F.col("simhash").alias("sh_a"))
+    b = bounded.select("band", "bval", F.col("id").alias("id_b"),
+                       F.col("simhash").alias("sh_b"))
+    return (a.join(b, ["band", "bval"]).filter(F.col("id_a") < F.col("id_b"))
+            # a pair colliding in several bands must emit ONE row
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct()
             .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

@@ -158,8 +158,7 @@ def _norm_fact(col: str) -> str:
     from kgspark import textcore as tc
 
     s = col
-    for rx in (tc._FROM_TO_RE, tc._SINCE_RE, tc._ON_RE, tc._UNTIL_RE,
-               tc._REL_RE):
+    for rx in tc.DATE_STRIP_RES:  # the ONE shared pattern list — no drift
         pat = rx.pattern.replace("'", "''")
         s = f"regexp_replace({s}, '{pat}', ' ', 'g')"
     return _norm(s)

@@ -37,7 +37,8 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
 
 
 def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
-                       checkpoint_dir: str | None = None):
+                       checkpoint_dir: str | None = None,
+                       max_files_per_trigger: int = 4):
     """Start (availableNow) a stream that incrementally maintains the graph
     tables under ``base``. Returns the StreamingQuery; callers
     ``awaitTermination`` it.
@@ -52,11 +53,17 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
     checkpoint_dir = checkpoint_dir or str(Path(base) / "_stream_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # pin the micro-batch: it feeds three actions (emptiness probe,
+        # bronze append, dirty-group collect) and an unpersisted stream
+        # batch re-reads its source files per action
+        batch_df.persist()
         if batch_df.isEmpty():
+            batch_df.unpersist()
             return
         (batch_df.write.mode("append").partitionBy("group_id").parquet(bronze))
         dirty = [r["group_id"] for r in
                  batch_df.select("group_id").distinct().collect()]
+        batch_df.unpersist()
         # invalidate lineage for dirty groups -> run_resumable recomputes them
         for g in dirty:
             rec = kio._lineage_dir(base) / f"group={g}.json"
@@ -74,7 +81,7 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
                      .filter(F.col("__rn") == 1).drop("__rn"))
         kio.run_resumable(spark, all_pages, base, compute_embeddings=False)
 
-    return (read_pages_stream(spark, input_dir)
+    return (read_pages_stream(spark, input_dir, max_files_per_trigger)
             .writeStream
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)

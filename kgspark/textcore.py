@@ -159,10 +159,12 @@ class Mention:
 
 
 def split_sentences(text: str) -> list[str]:
-    """Split on '.', newline-safe. Entity names never contain '.'."""
+    """Split on '.', newline-safe. Entity names never contain '.'.
+    A period directly followed by a digit does NOT split — dotted numeric
+    dates ('since 15.03.2024') and decimals stay inside one sentence."""
     out = []
     for line in text.split("\n"):
-        for part in re.split(r"\.\s*", line):
+        for part in re.split(r"\.(?!\d)\s*", line):
             part = part.strip()
             if part:
                 out.append(part)
@@ -289,18 +291,38 @@ _MONTHS = {
     "november": 11, "december": 12,
 }
 
-_LONG_DATE = r"(?:January|February|March|April|May|June|July|August|September|October|November|December) \d{1,2}, \d{4}"
-_DATE_ALT = rf"(?:{_LONG_DATE}|{_ISO_DATE})"
+_MONTH_NAMES = r"(?:January|February|March|April|May|June|July|August|September|October|November|December)"
+_LONG_DATE = rf"{_MONTH_NAMES} \d{{1,2}}, \d{{4}}"
+# r4 grammar breadth (reference rules prompts/extract_edge_dates.py:77-87,
+# incl. "if only a year/month is mentioned, use the first"): numeric slash
+# (2024/03/15), numeric dot (15.03.2024, day-first), month-year
+# ("March 2024" -> first of month). LONG before MONTH_YEAR in the
+# alternation so "March 5, 2024" never half-matches as month-year. All
+# patterns stay RE2-compatible (no backrefs/lookarounds) — the DuckDB
+# oracle strips the SAME patterns in SQL (kg_oracle._norm_fact).
+_SLASH_DATE = r"\d{4}/\d{2}/\d{2}"
+_DOT_DATE = r"\d{1,2}\.\d{1,2}\.\d{4}"
+_MONTH_YEAR = rf"{_MONTH_NAMES} \d{{4}}"
+_DATE_ALT = rf"(?:{_LONG_DATE}|{_ISO_DATE}|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR})"
 _FROM_TO_RE = re.compile(rf"\bfrom ({_DATE_ALT}) to ({_DATE_ALT})")
 _SINCE_RE = re.compile(rf"\b(?:since|starting) ({_DATE_ALT})")
 _ON_RE = re.compile(rf"\bon ({_DATE_ALT})")
+# "in March 2024" — month-year only: "in 2024-03-15" is not idiomatic and
+# "in <City>" must never be mistaken for a date trigger
+_IN_RE = re.compile(rf"\bin ({_MONTH_YEAR})")
 _UNTIL_RE = re.compile(rf"\buntil ({_DATE_ALT})")
-_REL_RE = re.compile(r"\b(yesterday|last week|last month)\b")
-# fast-path gate: every absolute form above (long + ISO) contains a 4-digit
-# year, so a sentence without one can only carry a relative phrase — one
-# search replaces the 4 absolute-pattern searches on date-free sentences
-# (the overwhelmingly common case on web text)
+_REL_RE = re.compile(
+    r"\b(yesterday|last week|last month|\d{1,3} (?:days?|weeks?) ago)\b")
+# fast-path gate: every absolute form above contains a 4-digit year, so a
+# sentence without one can only carry a relative phrase — one search
+# replaces the absolute-pattern searches on date-free sentences (the
+# overwhelmingly common case on web text)
 _ABS_DATE_HINT_RE = re.compile(r"\d{4}")
+
+# the ONE list of date-phrase patterns stripped from fact-dedup keys —
+# normalize_fact (Python) and kg_oracle._norm_fact (DuckDB SQL) both
+# iterate this, so the two sides cannot drift
+DATE_STRIP_RES = (_FROM_TO_RE, _SINCE_RE, _ON_RE, _IN_RE, _UNTIL_RE, _REL_RE)
 
 
 def _parse_date_token(tok: str) -> datetime | None:
@@ -308,14 +330,20 @@ def _parse_date_token(tok: str) -> datetime | None:
     ('2024-13-45', 'May 99, 2024') — web text carries date-like serial
     numbers, and a ValueError here would kill the whole extraction task."""
     try:
-        m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", tok)
-        if m:
+        m = re.fullmatch(r"(\d{4})[-/](\d{2})[-/](\d{2})", tok)
+        if m:  # ISO 2024-03-15 and slash 2024/03/15 (both year-first)
             return datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        m = re.fullmatch(r"(\d{1,2})\.(\d{1,2})\.(\d{4})", tok)
+        if m:  # dotted numeric 15.03.2024 (day-first, the European form)
+            return datetime(int(m.group(3)), int(m.group(2)), int(m.group(1)))
         m = re.fullmatch(r"([A-Za-z]+) (\d{1,2}), (\d{4})", tok)
         if m:
             return datetime(int(m.group(3)), _MONTHS[m.group(1).lower()],
                             int(m.group(2)))
-    except ValueError:
+        m = re.fullmatch(r"([A-Za-z]+) (\d{4})", tok)
+        if m:  # month-year -> first of month (extract_edge_dates rule 5)
+            return datetime(int(m.group(2)), _MONTHS[m.group(1).lower()], 1)
+    except (ValueError, KeyError):
         return None
     return None
 
@@ -344,10 +372,10 @@ def parse_dates_structural(
             inv = _parse_date_token(m.group(2))
             if v is not None or inv is not None:
                 return v, inv, True, None
-        # try 'since' then 'on' — a since-match whose token is
-        # calendar-invalid must not shadow a parseable on-date (same
-        # fall-through rule as the from-to branch above)
-        for rx in (_SINCE_RE, _ON_RE):
+        # try 'since', 'on', then 'in <month-year>' — a since-match whose
+        # token is calendar-invalid must not shadow a parseable on-date
+        # (same fall-through rule as the from-to branch above)
+        for rx in (_SINCE_RE, _ON_RE, _IN_RE):
             m = rx.search(sentence)
             if m:
                 valid = _parse_date_token(m.group(1))
@@ -362,7 +390,13 @@ def parse_dates_structural(
     if valid is None:
         m = _REL_RE.search(sentence)
         if m:
-            rel_days = {"yesterday": 1, "last week": 7, "last month": 30}[m.group(1)]
+            rel = m.group(1)
+            fixed = {"yesterday": 1, "last week": 7, "last month": 30}
+            if rel in fixed:
+                rel_days = fixed[rel]
+            else:  # "N days ago" / "N weeks ago"
+                n, unit = rel.split()[:2]
+                rel_days = int(n) * (7 if unit.startswith("week") else 1)
     return valid, invalid, explicit, rel_days
 
 
@@ -789,7 +823,7 @@ def normalize_fact(fact: str) -> str:
     same assertion restated with/without its date phrase merges
     (edge_operations.py:151-192 LLM dedup analog)."""
     s = fact
-    for rx in (_FROM_TO_RE, _SINCE_RE, _ON_RE, _UNTIL_RE, _REL_RE):
+    for rx in DATE_STRIP_RES:
         s = rx.sub(" ", s)
     return normalize_name(s)
 

@@ -491,3 +491,33 @@ def test_simhash_matches_spec_bit_for_bit(spark):
     got = {r["id"]: r["simhash"] for r in dp.simhash(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == spec_simhash(t), t
+
+
+def test_simhash_neardups_multiband_lossless(spark):
+    # r3 verdict wrong #4: single top-16-bit prefix blocking missed pairs
+    # whose flips hit the prefix. Multi-band (4 disjoint 16-bit bands) is
+    # LOSSLESS for max_hamming <= 3 by pigeonhole: the result must equal
+    # the brute-force all-pairs hamming join exactly.
+    import itertools
+    import pandas as pd
+    base = " ".join(f"tok{i}" for i in range(60))
+    texts = [base] + [
+        base.replace(f"tok{k} ", f"var{k} ", 1) for k in range(0, 24, 2)
+    ] + ["completely different content here"] * 2
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in dp.simhash(docs).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dp.simhash_neardups(docs, max_hamming=3).collect()}
+    assert got == want and want
+    # the ground truth must include at least one pair whose differing bits
+    # touch the OLD prefix block (top 16 bits) — i.e. a pair the r3
+    # single-band blocking would have missed
+    assert any(((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)) >> 48
+               for a, b in want), "corpus never exercises the old gap"

@@ -288,3 +288,48 @@ def test_sentence_cache_parity_across_ref_ts():
             fresh = tc.extract_triples_for(src, text, ref)
             assert cached == fresh, (src, ref)
     assert cache  # the shared cache was actually exercised
+
+
+def test_date_parse_r4_grammar_breadth():
+    # r4 additions (extract_edge_dates.py:77-87 analogs): numeric slash,
+    # numeric dot (day-first), month-year -> first of month, "in <month
+    # year>" trigger, and "N days/weeks ago" relatives
+    from datetime import datetime
+    ref = datetime(2024, 6, 10, 9)
+    v, i, ex = tc.parse_dates("x works for y since 2024/03/15", ref)
+    assert (v, i, ex) == (datetime(2024, 3, 15), None, True)
+    v, i, ex = tc.parse_dates("x works for y since 15.03.2024", ref)
+    assert (v, i, ex) == (datetime(2024, 3, 15), None, True)
+    v, i, ex = tc.parse_dates("x works for y since March 2024", ref)
+    assert (v, i, ex) == (datetime(2024, 3, 1), None, True)
+    v, i, ex = tc.parse_dates("they became partners in March 2024", ref)
+    assert (v, i, ex) == (datetime(2024, 3, 1), None, True)
+    v, i, ex = tc.parse_dates("a features b from 2024/01/05 to 31.01.2024", ref)
+    assert v == datetime(2024, 1, 5) and i == datetime(2024, 1, 31) and ex
+    v, _, ex = tc.parse_dates("the issue started 3 days ago", ref)
+    assert v == datetime(2024, 6, 7) and ex
+    v, _, ex = tc.parse_dates("they became partners 2 weeks ago", ref)
+    assert v == datetime(2024, 5, 27) and ex
+    # calendar-invalid numerics parse to None, no crash, no explicitness
+    assert tc.parse_dates("x on 2024/13/45", ref) == (None, None, False)
+    assert tc.parse_dates("x since 45.13.2024", ref) == (None, None, False)
+    # 'in <City>' is never a date trigger
+    assert tc.parse_dates("Ana lives in Quito City", ref) == (None, None, False)
+    # long date is NOT half-eaten by the month-year alternation
+    v, i, ex = tc.parse_dates("x works for y since March 5, 2024", ref)
+    assert (v, i, ex) == (datetime(2024, 3, 5), None, True)
+
+
+def test_date_phrases_strip_from_dedup_key():
+    # every new form lands in the SAME norm_fact dedup class as the
+    # undated restatement (the oracle strips the same patterns in SQL)
+    base = tc.normalize_fact("Ana Ruiz works for Acme")
+    for phrase in ("since 2024/03/15", "since 15.03.2024",
+                   "since March 2024", "in March 2024",
+                   "3 days ago", "2 weeks ago", "yesterday"):
+        assert tc.normalize_fact(f"Ana Ruiz works for Acme {phrase}") == base
+
+
+def test_split_sentences_keeps_dotted_dates():
+    got = tc.split_sentences("A works for B since 15.03.2024. C likes D.")
+    assert got == ["A works for B since 15.03.2024", "C likes D"]
