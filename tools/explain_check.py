@@ -94,6 +94,13 @@ def main() -> None:
     check("image_decode no shuffle", "Exchange" not in p, p)
     check("image_decode arrow stage", "MapInPandas" in p, p)
 
+    # 8. persisted BM25 index: the query's term buckets prune at the
+    # parquet source — the read side must never scan the whole postings
+    # table (r4: the read-side twin of the ANN index pruning check)
+    p = plan_of(E.q_bm25_indexed(spark, SF))
+    check("bm25_indexed partition pruning",
+          "PartitionFilters: [term_bucket" in p or "term_bucket#" in p, p)
+
     print("FAILURES:", failures or "none")
     sys.exit(1 if failures else 0)
 
