@@ -183,6 +183,17 @@ def score_pairs(entities: DataFrame, pairs: DataFrame,
     """
     if emb is None:
         emb = udfs.embed_entities(entities.filter(~F.col("is_dynamic")))
+    # Scoring is COMPUTE-bound, not byte-bound: each pair pays three
+    # 1024-element higher-order aggregates (cosine + norms), ~100µs/row,
+    # while the pair rows themselves are ~60 bytes. AQE's byte-based
+    # coalescing therefore collapses the candidate-pair exchange to one or
+    # two reducers (1MB minPartitionSize) and serializes the whole scoring
+    # stage onto them. An EXPLICIT numbered repartition is exempt from AQE
+    # coalescing, so it pins scoring parallelism at the session's shuffle
+    # width; the extra exchange moves only the slim (group, name, name)
+    # pair rows — embeddings are attached after, by broadcast of ``attrs``.
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_part)
     attrs = (
         entities.filter(~F.col("is_dynamic"))
         .select("group_id", "norm_name", "ext_uuid")
