@@ -22,6 +22,23 @@ def _toks(col):
     return F.expr(f"regexp_extract_all({col}, '{TOKEN_RE}', 0)")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Ensure scan-side parallelism for compute-bound per-row stages.
+
+    The operators below pay their cost per ROW (tokenize/shingle/minhash/
+    sketch), not per byte, but Spark sizes file splits and AQE-coalesced
+    exchanges by BYTES — a small parquet (one row group) scans as ONE task
+    and serializes the whole stage onto one core. At production scale the
+    scan has partitions >> cores and this is a no-op (getNumPartitions is a
+    planning-time probe, no job); only when the scan under-splits does it
+    insert one round-robin exchange of the slim input rows."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -32,7 +49,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     kept (minimum) id and the duplicate count. Null-text rows are excluded:
     md5(NULL) is NULL, which would collapse every text-less document into
     one spurious duplicate class."""
-    return (docs.filter(F.col(text_col).isNotNull())
+    return (_par(docs).filter(F.col(text_col).isNotNull())
             .withColumn("text_hash", F.md5(text_col))
             .groupBy("text_hash")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -46,7 +63,7 @@ def minhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     toks = F.array_distinct(_toks(text_col))
     cols = [F.array_min(F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"s{i}|"), t))))
             .alias(f"mh{i}") for i in range(n_seeds)]
-    return docs.select(F.col(id_col).alias("id"), *cols)
+    return _par(docs).select(F.col(id_col).alias("id"), *cols)
 
 
 def neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -80,8 +97,8 @@ def neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Token-set Jaccard for candidate pairs (exact rescore after LSH)."""
-    toks = docs.select(F.col(id_col).alias("id"),
-                       F.explode(F.array_distinct(_toks(text_col))).alias("tok"))
+    toks = _par(docs).select(F.col(id_col).alias("id"),
+                             F.explode(F.array_distinct(_toks(text_col))).alias("tok"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs
@@ -159,7 +176,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
                         out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
 
-    return docs.select(id_col, text_col).mapInPandas(run, SIMHASH_DDL)
+    return _par(docs).select(id_col, text_col).mapInPandas(run, SIMHASH_DDL)
 
 
 def simhash_neardups(docs: DataFrame, id_col: str = "doc_id",
@@ -227,7 +244,7 @@ def ann_bruteforce(emb: DataFrame, query_vec: list[float], k: int = 10,
     """Exact cosine top-k — the correctness baseline (and the rescore stage
     of the LSH variant)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    return (emb.select(F.col(id_col).alias("id"),
+    return (_par(emb).select(F.col(id_col).alias("id"),
                        F.col(emb_col).cast("array<double>").alias("v"))
             .withColumn("cos", _cos_expr(F.col("v"), q))
             .select("id", "cos")
@@ -281,7 +298,7 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 12,
                        for row in signs]
             yield pd.DataFrame({"id": pdf[id_col], "bucket": buckets})
 
-    return emb.select(id_col, emb_col).mapInPandas(run, HYPERPLANE_DDL)
+    return _par(emb).select(id_col, emb_col).mapInPandas(run, HYPERPLANE_DDL)
 
 
 def ann_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
@@ -530,7 +547,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Stopword-evidence language ID (n-gram heuristic): per-language
     stopword hit counts, argmax with deterministic tie-break."""
-    out = docs.select(id_col, text_col)
+    out = _par(docs).select(id_col, text_col)
     for lang, words in _STOPWORDS.items():
         # sorted alternation: keeps the regex byte-identical to the DuckDB
         # oracle so match counts agree across engines
@@ -558,7 +575,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     n_uniq = F.size(F.array_distinct(toks))
     n_punct = F.length(F.regexp_replace(text_col, "[^.,;:!?]", ""))
     n_digit = F.length(F.regexp_replace(text_col, "[^0-9]", ""))
-    return docs.select(
+    return _par(docs).select(
         id_col,
         n_chars.alias("n_chars"),
         n_toks.alias("n_tokens"),
@@ -581,7 +598,7 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4)).cast("int"))
     # all counts as long: the driver's value-hash is dtype-sensitive and the
     # DuckDB oracle emits BIGINT (list_sum would otherwise be HUGEINT)
-    return docs.select(
+    return _par(docs).select(
         id_col,
         F.size(F.split(text_col, "\\s+")).cast("long").alias("whitespace_tokens"),
         F.size(toks).cast("long").alias("word_tokens"),
@@ -596,7 +613,7 @@ def rolling_fingerprint(docs: DataFrame, id_col: str = "doc_id",
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - window + 1, F.lit(1))),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))))
-    return docs.select(
+    return _par(docs).select(
         id_col,
         F.array_min(shingles).alias("fingerprint"),
         F.size(F.array_distinct(shingles)).alias("n_shingles"))
