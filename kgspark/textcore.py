@@ -33,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 from datetime import datetime, timedelta
 
 # ---------------------------------------------------------------------------
@@ -127,15 +128,19 @@ _MENTION_RE = re.compile(
 )
 _SPEAKER_RE = re.compile(r"^([a-z][a-z0-9_]{2,}):\s")
 _HAS_DATE_RE = re.compile(_ISO_DATE)
+_HANDLE_RE = re.compile(r"[a-z][a-z0-9_]{2,}")
 
 
+@lru_cache(maxsize=1 << 16)
 def classify_name(name: str) -> str:
     """Deterministic entity-type classifier (analog of the LLM classifier,
-    node_operations.py:206-234 — dictionary/keyword classification)."""
+    node_operations.py:206-234 — dictionary/keyword classification).
+    Pure function of the name; lru_cached — web text repeats entity names
+    heavily, and this sits on the per-mention hot path."""
     toks = name.split()
     if _HAS_DATE_RE.search(name) or (toks and toks[0] in DYNAMIC_KEYWORDS):
         return "DynamicEvent"
-    if re.fullmatch(r"[a-z][a-z0-9_]{2,}", name):
+    if _HANDLE_RE.fullmatch(name):
         return "Person"  # speaker handle
     if not toks:  # whitespace-only input: fall through to the default
         return "Organization"
@@ -158,13 +163,16 @@ class Mention:
     speaker: bool = False  # True only for message-episode speaker mentions
 
 
+_SENT_SPLIT_RE = re.compile(r"\.(?!\d)\s*")
+
+
 def split_sentences(text: str) -> list[str]:
     """Split on '.', newline-safe. Entity names never contain '.'.
     A period directly followed by a digit does NOT split — dotted numeric
     dates ('since 15.03.2024') and decimals stay inside one sentence."""
     out = []
     for line in text.split("\n"):
-        for part in re.split(r"\.(?!\d)\s*", line):
+        for part in _SENT_SPLIT_RE.split(line):
             part = part.strip()
             if part:
                 out.append(part)
@@ -178,20 +186,29 @@ def _scan_names(sent: str):
     between-text slicing uses trimmed name length from the untrimmed start).
     """
     for mt in _MENTION_RE.finditer(sent):
-        name = mt.group(1)
-        toks = name.split()
-        # strip leading/trailing stopwords (months leak in from phrases
-        # like 'since March 1, 2024' -> single-token 'March')
-        while toks and toks[0] in _STOPWORDS:
-            toks = toks[1:]
-        while toks and toks[-1] in _STOPWORDS:
-            toks = toks[:-1]
-        if not toks:
+        name = _trim_title_name(mt.group(1))
+        if name is None:
             continue
-        name = " ".join(toks)
-        if len(toks) == 1 and len(name) < 3:
-            continue  # single initials / stray capitals are noise
         yield name, mt.start()
+
+
+@lru_cache(maxsize=1 << 17)
+def _trim_title_name(raw: str) -> str | None:
+    """Stopword-trim one raw Title-Case match (months leak in from phrases
+    like 'since March 1, 2024' -> single-token 'March'); None = noise.
+    lru_cached: raw matches repeat corpus-wide (boilerplate + recurring
+    entities), and the trim loop dominated _scan_names in profiles."""
+    toks = raw.split()
+    while toks and toks[0] in _STOPWORDS:
+        toks = toks[1:]
+    while toks and toks[-1] in _STOPWORDS:
+        toks = toks[:-1]
+    if not toks:
+        return None
+    name = " ".join(toks)
+    if len(toks) == 1 and len(name) < 3:
+        return None  # single initials / stray capitals are noise
+    return name
 
 
 def extract_mentions(text: str, classifier=None) -> list[Mention]:
