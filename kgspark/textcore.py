@@ -835,13 +835,23 @@ def normalize_name(name: str) -> str:
     return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", name.lower())).strip()
 
 
+_REL_HINTS = ("ago", "yesterday", "last ")
+
+
 def normalize_fact(fact: str) -> str:
     """Fact-dedup key: lowercase, strip punctuation AND date phrases so the
     same assertion restated with/without its date phrase merges
-    (edge_operations.py:151-192 LLM dedup analog)."""
+    (edge_operations.py:151-192 LLM dedup analog).
+
+    Fast-path gate (bit-identical): every absolute pattern in
+    DATE_STRIP_RES requires a 4-digit year and every relative phrase
+    carries one of the literal lowercase _REL_HINTS substrings, so a fact
+    with neither cannot match any strip pattern — the 6-regex chain is
+    skipped on the overwhelmingly common date-free fact."""
     s = fact
-    for rx in DATE_STRIP_RES:
-        s = rx.sub(" ", s)
+    if _ABS_DATE_HINT_RE.search(s) is not None or any(h in s for h in _REL_HINTS):
+        for rx in DATE_STRIP_RES:
+            s = rx.sub(" ", s)
     return normalize_name(s)
 
 
