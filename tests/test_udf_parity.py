@@ -143,3 +143,48 @@ def test_embed_expr_column_parity(spark):
     for fact, row in zip(facts, got):
         want = np.asarray(tc.hash_embedding(fact), dtype=np.float32)
         assert np.array_equal(np.asarray(row["e"], dtype=np.float32), want), fact
+
+
+def test_extraction_udfs_mixed_batch_alignment(spark):
+    # the vectorized row build (np.repeat page columns + flat per-mention
+    # comprehensions) must keep page->row alignment when zero-mention /
+    # zero-triple pages are interleaved, including the registry
+    # attribute-extraction branch (attrs is built per page and extended)
+    import json
+    from datetime import datetime
+
+    from kgspark.entity_types import EntityType, EntityTypeRegistry
+
+    reg = EntityTypeRegistry((EntityType(
+        name="Org", suffixes=("Corp",),
+        attributes=(("hq", "unknown"),),
+        extract=(("hq", r"{name} is headquartered in ([A-Z][a-zA-Z]+)"),)),))
+    pdf = pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "group_id": ["g", "g", "g"],
+        "warc_ts": [datetime(2024, 1, 1)] * 3,
+        "text": [
+            "Acme Corp is headquartered in Lima. Bo Chen works for Acme Corp.",
+            "nothing capitalized here at all.",  # zero mentions, zero triples
+            "Mira Chen likes Glowco.",
+        ],
+        "source": ["text"] * 3,
+    })
+    pages = spark.createDataFrame(pdf)
+
+    m = udfs.extract_mentions(pages, reg).collect()
+    got = {(r["url"], r["name"]) for r in m}
+    assert got == {("u1", "Acme Corp"), ("u1", "Lima"), ("u1", "Bo Chen"),
+                   ("u3", "Mira Chen"), ("u3", "Glowco")}
+    by = {(r["url"], r["name"]): r for r in m}
+    assert by[("u1", "Acme Corp")]["label"] == "Org"
+    assert json.loads(by[("u1", "Acme Corp")]["attrs"]) == {"hq": "Lima"}
+    # the attr column must not bleed onto neighboring mentions or pages
+    assert by[("u1", "Bo Chen")]["attrs"] is None
+    assert by[("u3", "Mira Chen")]["attrs"] is None
+    assert all(r["warc_ts"] == datetime(2024, 1, 1) for r in m)
+
+    t = udfs.extract_triples(pages).collect()
+    assert {(r["url"], r["subject"], r["predicate"], r["object"]) for r in t} \
+        == {("u1", "Bo Chen", "WORKS_FOR", "Acme Corp"),
+            ("u3", "Mira Chen", "LIKES", "Glowco")}
