@@ -200,15 +200,29 @@ def score_pairs(entities: DataFrame, pairs: DataFrame,
         .join(emb, ["group_id", "norm_name"])
         .withColumn("shingles", _shingle_col(F.col("norm_name")))
         .withColumn("tokens", F.split("norm_name", " "))
+        # per-ENTITY invariants hoisted out of the per-pair projection:
+        # the embedding L2 norm and summed token length are functions of
+        # one side only, so computing them here turns three interpreted
+        # 1024-element higher-order aggregates per PAIR into one (the dot
+        # product). Same left-to-right accumulation and per-side sqrt as
+        # before — the cosine value is bit-identical.
+        .withColumn("nrm", F.sqrt(
+            F.aggregate(F.transform("name_embedding", lambda x: x * x),
+                        F.lit(0.0), lambda acc, v: acc + v)))
+        .withColumn("tlen", F.aggregate(F.transform(F.split("norm_name", " "),
+                                                    F.length),
+                                        F.lit(0), lambda acc, v: acc + v))
     )
     a = attrs.select(
         "group_id", F.col("norm_name").alias("norm_a"), F.col("ext_uuid").alias("uuid_a"),
         F.col("name_embedding").alias("emb_a"), F.col("shingles").alias("sh_a"),
-        F.col("tokens").alias("tok_a"))
+        F.col("tokens").alias("tok_a"), F.col("nrm").alias("nrm_a"),
+        F.col("tlen").alias("len_a"))
     b = attrs.select(
         "group_id", F.col("norm_name").alias("norm_b"), F.col("ext_uuid").alias("uuid_b"),
         F.col("name_embedding").alias("emb_b"), F.col("shingles").alias("sh_b"),
-        F.col("tokens").alias("tok_b"))
+        F.col("tokens").alias("tok_b"), F.col("nrm").alias("nrm_b"),
+        F.col("tlen").alias("len_b"))
     scored = (
         pairs
         .join(a, ["group_id", "norm_a"])
@@ -219,19 +233,13 @@ def score_pairs(entities: DataFrame, pairs: DataFrame,
         # EXACTLY textcore.cosine: double dot / (norm_a * norm_b), same
         # left-to-right accumulation order as the Python generator sums —
         # bitwise-identical to the oracle's decision, and the same formula
-        # the DuckDB oracle's list_cosine_similarity computes
+        # the DuckDB oracle's list_cosine_similarity computes (the per-side
+        # norms are hoisted into ``attrs``: same sum order, same sqrt)
         .withColumn("cos",
                     F.aggregate(F.zip_with("emb_a", "emb_b",
                                            lambda x, y: x * y),
                                 F.lit(0.0), lambda acc, v: acc + v)
-                    / (F.sqrt(F.aggregate(F.transform("emb_a", lambda x: x * x),
-                                          F.lit(0.0), lambda acc, v: acc + v))
-                       * F.sqrt(F.aggregate(F.transform("emb_b", lambda x: x * x),
-                                            F.lit(0.0), lambda acc, v: acc + v))))
-        .withColumn("len_a", F.aggregate(F.transform("tok_a", F.length),
-                                         F.lit(0), lambda acc, v: acc + v))
-        .withColumn("len_b", F.aggregate(F.transform("tok_b", F.length),
-                                         F.lit(0), lambda acc, v: acc + v))
+                    / (F.col("nrm_a") * F.col("nrm_b")))
         .withColumn(
             "abbrev",
             (F.size("tok_a") == F.size("tok_b"))
