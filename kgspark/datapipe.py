@@ -327,20 +327,120 @@ def ann_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
     return ann_bruteforce(sub, query_vec, k, id_col, emb_col)
 
 
+_ANN_PARTS = ("vectors", "deleted")
+
+
+def _bucketed_vectors(emb: DataFrame, n_planes: int, id_col: str,
+                      emb_col: str) -> DataFrame:
+    vecs = emb.select(id_col, emb_col)
+    buckets = hyperplane_buckets(vecs, n_planes, id_col, emb_col) \
+        .withColumnRenamed("id", id_col)
+    return vecs.join(buckets, id_col)
+
+
+def _ann_write_gen(df: DataFrame, path: str, gen: int,
+                   part_cols: list[str]) -> None:
+    (df.withColumn("gen", F.lit(gen))
+       .write.mode("append").partitionBy("gen", *part_cols).parquet(path))
+
+
+def _ann_live(spark, path: str, committed: int, rows: DataFrame,
+              id_col: str) -> DataFrame:
+    """Anti-join the tombstones (broadcast — sized by re-ingest count)."""
+    from kgspark import segments
+    if not segments.has_gens(path + "/deleted"):
+        return rows
+    dead = (spark.read.parquet(path + "/deleted")
+            .filter(F.col("gen") <= committed)
+            .select(F.col("id").alias("__dead_id"), "dead_gen"))
+    return rows.join(F.broadcast(dead),
+                     (rows[id_col] == F.col("__dead_id"))
+                     & (rows["gen"] == F.col("dead_gen")), "left_anti")
+
+
 def build_ann_index(emb: DataFrame, path: str, n_planes: int = 12,
                     id_col: str = "vec_id",
                     emb_col: str = "embedding") -> None:
     """Persist an LSH-bucketed ANN index: vectors + their sign-projection
-    bucket, written as parquet PARTITIONED BY bucket. A query then reads
-    only the probed buckets' partitions (partition pruning at the scan —
-    the IVF-file/nprobe layout), instead of recomputing buckets over the
-    whole table per query (the r1 weakness). At 10^12 scale this is the
-    difference between a full scan and touching a handful of partitions."""
-    vecs = emb.select(id_col, emb_col)
-    buckets = hyperplane_buckets(vecs, n_planes, id_col, emb_col) \
-        .withColumnRenamed("id", id_col)
-    (vecs.join(buckets, id_col)
-         .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    bucket at ``{path}/vectors/gen=N/bucket=.../`` (generation-committed —
+    kgspark.segments; grow it with ``update_ann_index``, never rebuild). A
+    query reads only the probed buckets' partitions (partition pruning at
+    the scan — the IVF-file/nprobe layout), instead of recomputing buckets
+    over the whole table per query (the r1 weakness). At 10^12 scale this
+    is the difference between a full scan and touching a handful of
+    partitions."""
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    _ann_write_gen(_bucketed_vectors(emb, n_planes, id_col, emb_col),
+                   path + "/vectors", 0, ["bucket"])
+    from kgspark import segments
+    segments.commit_gen(path, 0)
+
+
+def update_ann_index(emb: DataFrame, path: str, n_planes: int = 12,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> int:
+    """Fold a delta batch of vectors into an existing ANN index as a new
+    committed generation: O(delta) bucketing + append. A delta id already
+    in the index REPLACES its old vector (tombstoned, so a re-embedded doc
+    moves buckets correctly). The only corpus-sized touch is one
+    column-pruned (id, gen) scan for collision detection. Crash-safe like
+    update_fulltext_index: marker last, readers see the previous snapshot
+    until commit. Returns the new committed generation."""
+    from kgspark import segments
+    spark = emb.sparkSession
+    segments.finish_swap(path)
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed ANN index at {path}; "
+                         "run build_ann_index first")
+    segments.clean_uncommitted(path, _ANN_PARTS)
+    dup = (emb.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") > 1).first())
+    if dup is not None:
+        raise ValueError(f"update_ann_index: duplicate id {dup[0]!r} "
+                         "in delta batch — one row per id per batch")
+    new_gen = committed + 1
+    delta_ids = emb.select(F.col(id_col).alias("__new_id")).distinct()
+    live_ids = _ann_live(
+        spark, path, committed,
+        (spark.read.parquet(path + "/vectors")
+         .filter(F.col("gen") <= committed).select(id_col, "gen")), id_col)
+    coll = (live_ids.join(F.broadcast(delta_ids),
+                          F.col(id_col) == F.col("__new_id"), "left_semi")
+            .select(F.col(id_col).alias("id"), F.col("gen").alias("dead_gen")))
+    _ann_write_gen(_bucketed_vectors(emb, n_planes, id_col, emb_col),
+                   path + "/vectors", new_gen, ["bucket"])
+    _ann_write_gen(coll, path + "/deleted", new_gen, [])
+    segments.commit_gen(path, new_gen)
+    return new_gen
+
+
+def compact_ann_index(spark, path: str, id_col: str = "vec_id",
+                      part_col: str = "bucket") -> None:
+    """Rewrite live vectors as a fresh gen-0 index and swap it in
+    (journaled) — bounds tombstones and per-partition file counts. For an
+    IVF index pass ``part_col='cluster'`` (centroids carry over)."""
+    import shutil
+    from pathlib import Path as _P
+
+    from kgspark import segments
+    segments.finish_swap(path)
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed ANN index at {path}")
+    segments.clean_uncommitted(path, _ANN_PARTS)
+    staging = path + ".compact.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    live = _ann_live(spark, path, committed,
+                     (spark.read.parquet(path + "/vectors")
+                      .filter(F.col("gen") <= committed)), id_col).drop("gen")
+    _ann_write_gen(live, staging + "/vectors", 0, [part_col])
+    cfile = _P(path) / "_centroids.json"
+    if cfile.exists():
+        shutil.copy(cfile, _P(staging) / "_centroids.json")
+    segments.commit_gen(staging, 0)
+    segments.compact_swap(path, staging)
 
 
 def ann_query_indexed(spark, path: str, query_vec: list[float], k: int = 10,
@@ -350,9 +450,14 @@ def ann_query_indexed(spark, path: str, query_vec: list[float], k: int = 10,
     """Top-k over a persisted ANN index: enumerate buckets within
     ``probe_hamming`` sign flips of the query's bucket, scan ONLY those
     partitions (`bucket IN (...)` prunes at the parquet source), exact
-    cosine rescore."""
+    cosine rescore. Reads the latest committed generation and drops
+    tombstoned vectors (broadcast anti-join — see update_ann_index)."""
     from itertools import combinations
 
+    from kgspark import segments
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed ANN index at {path}")
     qv = np.asarray(query_vec, dtype=np.float64)
     planes = _hyperplanes(len(query_vec), n_planes)
     qbits = [(1 if s else 0) for s in (planes @ qv) > 0]
@@ -363,7 +468,10 @@ def ann_query_indexed(spark, path: str, query_vec: list[float], k: int = 10,
             for f in flips:
                 bits[f] ^= 1
             probes.append("b" + "".join(map(str, bits)))
-    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    idx = (spark.read.parquet(path + "/vectors")
+           .filter(F.col("gen") <= committed)
+           .filter(F.col("bucket").isin(probes)))
+    idx = _ann_live(spark, path, committed, idx, id_col)
     return ann_bruteforce(idx, query_vec, k, id_col, emb_col)
 
 
@@ -457,16 +565,61 @@ def build_ivf_index(emb: DataFrame, path: str, n_clusters: int = 16,
                     iters: int = 2, id_col: str = "vec_id",
                     emb_col: str = "embedding") -> list[list[float]]:
     """Persist the IVF layout: vectors parquet PARTITIONED BY cluster id
-    (queries prune to nprobe partitions at the scan), centroids alongside.
-    Returns the centroids."""
-    cents = ivf_centroids(emb, n_clusters, iters, id_col, emb_col)
-    (_assign_clusters(emb.select(id_col, emb_col), cents, id_col, emb_col)
-     .write.mode("overwrite").partitionBy("cluster").parquet(path))
+    at ``{path}/vectors/gen=N/cluster=.../`` (generation-committed; grow
+    with ``update_ivf_index``), centroids alongside. Queries prune to
+    nprobe partitions at the scan. Returns the centroids."""
     import json as _json
-    import os as _os
-    with open(_os.path.join(path, "_centroids.json"), "w") as f:
+    import shutil
+    from kgspark import segments
+    shutil.rmtree(path, ignore_errors=True)
+    cents = ivf_centroids(emb, n_clusters, iters, id_col, emb_col)
+    _ann_write_gen(
+        _assign_clusters(emb.select(id_col, emb_col), cents, id_col, emb_col),
+        path + "/vectors", 0, ["cluster"])
+    with open(path + "/_centroids.json", "w") as f:
         _json.dump(cents, f)
+    segments.commit_gen(path, 0)
     return cents
+
+
+def update_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> int:
+    """Fold a delta batch into an existing IVF index: assign against the
+    FROZEN centroids (the standard IVF add path — FAISS adds to a trained
+    quantizer without retraining; re-train by rebuilding when drift
+    accumulates) and append as a new committed generation; re-embedded ids
+    tombstone their old generation. Returns the new generation."""
+    import json as _json
+    from kgspark import segments
+    spark = emb.sparkSession
+    segments.finish_swap(path)
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed IVF index at {path}; "
+                         "run build_ivf_index first")
+    segments.clean_uncommitted(path, _ANN_PARTS)
+    dup = (emb.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") > 1).first())
+    if dup is not None:
+        raise ValueError(f"update_ivf_index: duplicate id {dup[0]!r} "
+                         "in delta batch — one row per id per batch")
+    with open(path + "/_centroids.json") as f:
+        cents = _json.load(f)
+    new_gen = committed + 1
+    delta_ids = emb.select(F.col(id_col).alias("__new_id")).distinct()
+    live_ids = _ann_live(
+        spark, path, committed,
+        (spark.read.parquet(path + "/vectors")
+         .filter(F.col("gen") <= committed).select(id_col, "gen")), id_col)
+    coll = (live_ids.join(F.broadcast(delta_ids),
+                          F.col(id_col) == F.col("__new_id"), "left_semi")
+            .select(F.col(id_col).alias("id"), F.col("gen").alias("dead_gen")))
+    _ann_write_gen(
+        _assign_clusters(emb.select(id_col, emb_col), cents, id_col, emb_col),
+        path + "/vectors", new_gen, ["cluster"])
+    _ann_write_gen(coll, path + "/deleted", new_gen, [])
+    segments.commit_gen(path, new_gen)
+    return new_gen
 
 
 def ann_ivf_indexed(spark, path: str, query_vec: list[float], k: int = 10,
@@ -474,16 +627,23 @@ def ann_ivf_indexed(spark, path: str, query_vec: list[float], k: int = 10,
                     emb_col: str = "embedding") -> DataFrame:
     """Top-k over a persisted IVF index: `cluster IN (nearest nprobe)`
     prunes at the parquet source; exact rescore inside the probed
-    partitions."""
+    partitions. Committed-generation + tombstone semantics as
+    ann_query_indexed."""
     import json as _json
-    import os as _os
-    with open(_os.path.join(path, "_centroids.json")) as f:
+    from kgspark import segments
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed IVF index at {path}")
+    with open(path + "/_centroids.json") as f:
         cents = _json.load(f)
     qv = np.asarray(query_vec, dtype=np.float64)
     cm = np.asarray(cents, dtype=np.float64)
     csim = (cm @ qv) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(qv))
     probe = [int(i) for i in np.argsort(-csim)[:nprobe]]
-    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    idx = (spark.read.parquet(path + "/vectors")
+           .filter(F.col("gen") <= committed)
+           .filter(F.col("cluster").isin(probe)))
+    idx = _ann_live(spark, path, committed, idx, id_col)
     return ann_bruteforce(idx, query_vec, k, id_col, emb_col)
 
 

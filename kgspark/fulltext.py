@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgspark import segments
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 MAX_QUERY_TERMS = 32  # fulltext_query cap, search_utils.py:53-73
@@ -131,6 +133,28 @@ def bm25_search(df: DataFrame, text_col: str, query: str, limit: int = 20,
 # num_buckets (e.g. 4096) so each partition stays executor-sized; the build
 # cost is the same two corpus aggregates a single bm25_search pays, paid
 # once instead of per query.
+#
+# The index is maintained INCREMENTALLY (the reference adds episodes into
+# Lucene indexes built once, never rebuilding — add_episode upserts vs
+# graph_data_operations.py:73-80): every write is a committed GENERATION
+# under the kgspark.segments protocol —
+#
+#   {path}/postings/gen=N/term_bucket=B/   (term, id, tf, dlen[, group_id])
+#   {path}/docs/gen=N/                     (id, dlen) one row per live doc
+#   {path}/deleted/gen=N/                  (id, dead_gen) tombstones
+#   {path}/stats/gen=N/                    cumulative (n_docs, total_len,
+#                                          avgdl, num_buckets) as of N
+#   {path}/_commits/gen_N                  marker, written LAST
+#
+# ``update_fulltext_index`` tokenizes ONLY the delta batch (O(delta), not
+# O(corpus)): new postings/docs append as gen N+1; re-crawled ids tombstone
+# their previous generation's rows; stats update arithmetically from the
+# previous cumulative row. Readers filter gen <= committed (a partition
+# filter) and anti-join the tombstones (broadcast — sized by re-crawl
+# count, not corpus; ``compact_fulltext_index`` bounds it). The only
+# corpus-sized touch in an update is one column-pruned scan of docs/
+# (id, dlen — two columns) for collision detection; at 10^12 docs bucket
+# docs/ by id-hash the same way postings bucket by term to prune that too.
 # ---------------------------------------------------------------------------
 
 def _term_bucket_col(col, num_buckets: int):
@@ -147,25 +171,169 @@ def term_bucket(term: str, num_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % num_buckets
 
 
-def build_fulltext_index(df: DataFrame, text_col: str, path: str,
-                         id_col: str = "uuid", num_buckets: int = 64) -> None:
-    """Tokenize the corpus once and persist the BM25 postings index (layout
-    above). If ``df`` has a ``group_id`` column it is carried into the
-    postings so indexed queries can filter by group like ``bm25_search``."""
+_FT_PARTS = ("postings", "docs", "deleted", "stats")
+
+
+def _delta_tables(df: DataFrame, text_col: str, id_col: str,
+                  num_buckets: int):
+    """(postings, docs) DataFrames for one batch — the shared tokenize step
+    of build and update. Docs with zero tokens never enter the index (they
+    can't match any query), matching ``bm25_search``."""
     keep = ["group_id"] if "group_id" in df.columns else []
     toks = df.select(F.col(id_col).alias("id"), *keep,
                      F.explode(tokens_col(F.col(text_col))).alias("term"))
     tf = (toks.groupBy("id", "term", *keep)
           .agg(F.count(F.lit(1)).cast("double").alias("tf")))
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dlen"))
-    (tf.join(dl, "id")
-       .withColumn("term_bucket", _term_bucket_col(F.col("term"), num_buckets))
-       .write.mode("overwrite").partitionBy("term_bucket")
-       .parquet(path + "/postings"))
-    (dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg("dlen").alias("avgdl"))
-       .withColumn("num_buckets", F.lit(num_buckets))
-       .write.mode("overwrite").parquet(path + "/stats"))
+    postings = (tf.join(dl, "id")
+                .withColumn("term_bucket",
+                            _term_bucket_col(F.col("term"), num_buckets)))
+    return postings, dl
+
+
+def _write_gen(df: DataFrame, path: str, gen: int,
+               part_cols: list[str]) -> None:
+    """Append one generation's rows: a brand-new gen=N dir per partition —
+    parquet ``append`` never rewrites existing files, so concurrent readers
+    of the previous committed gen are undisturbed."""
+    (df.withColumn("gen", F.lit(gen))
+       .write.mode("append").partitionBy("gen", *part_cols).parquet(path))
+
+
+def build_fulltext_index(df: DataFrame, text_col: str, path: str,
+                         id_col: str = "uuid", num_buckets: int = 64) -> None:
+    """Tokenize the corpus once and persist the BM25 postings index (layout
+    above) as generation 0. If ``df`` has a ``group_id`` column it is
+    carried into the postings so indexed queries can filter by group like
+    ``bm25_search``. Grow the corpus afterwards with
+    ``update_fulltext_index`` — no rebuild."""
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
+    postings, dl = _delta_tables(df, text_col, id_col, num_buckets)
+    _write_gen(postings, path + "/postings", 0, ["term_bucket"])
+    _write_gen(dl, path + "/docs", 0, [])
+    stats = (dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                    F.sum("dlen").cast("double").alias("total_len"))
+             .withColumn("avgdl", F.col("total_len") / F.col("n_docs"))
+             .withColumn("num_buckets", F.lit(num_buckets)))
+    _write_gen(stats, path + "/stats", 0, [])
+    segments.commit_gen(path, 0)
+
+
+def _live_docs(spark, path: str, committed: int) -> DataFrame:
+    """(id, dlen, gen) of docs alive as of ``committed``: all generations
+    minus tombstones."""
+    docs = (spark.read.parquet(path + "/docs")
+            .filter(F.col("gen") <= committed))
+    return _apply_tombstones(spark, path, committed, docs, "id")
+
+
+def _apply_tombstones(spark, path: str, committed: int, rows: DataFrame,
+                      id_col: str) -> DataFrame:
+    """Drop rows whose (id, gen) was superseded by a later re-ingest.
+    Tombstones are broadcast: their count is the number of re-ingested docs
+    since the last compaction, not the corpus size."""
+    if not segments.has_gens(path + "/deleted"):
+        return rows
+    dead = (spark.read.parquet(path + "/deleted")
+            .filter(F.col("gen") <= committed)
+            .select(F.col("id").alias("__dead_id"), "dead_gen"))
+    return rows.join(F.broadcast(dead),
+                     (rows[id_col] == F.col("__dead_id"))
+                     & (rows["gen"] == F.col("dead_gen")), "left_anti")
+
+
+def update_fulltext_index(df: DataFrame, text_col: str, path: str,
+                          id_col: str = "uuid") -> int:
+    """Fold one delta batch (new and/or re-crawled docs) into an existing
+    index as a new committed generation — O(delta) tokenize + append, no
+    corpus re-tokenize. A delta id already in the index REPLACES its old
+    version (the old generation's rows are tombstoned, like merge_upsert's
+    row-level MERGE). Returns the new committed generation.
+
+    Crash-safe: the commit marker is written last, so a writer dying at any
+    earlier point leaves the index readable at its previous snapshot; the
+    next update removes the orphaned rows (segments.clean_uncommitted)."""
+    spark = df.sparkSession
+    segments.finish_swap(path)  # a prior compact died mid-swap: finish it
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed fulltext index at {path}; "
+                         "run build_fulltext_index first")
+    segments.clean_uncommitted(path, _FT_PARTS)
+    dup = (df.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") > 1).first())
+    if dup is not None:
+        raise ValueError(f"update_fulltext_index: duplicate id {dup[0]!r} "
+                         "in delta batch — one row per id per batch")
+    st = (spark.read.parquet(path + "/stats")
+          .filter(F.col("gen") == committed).first())
+    nb = int(st["num_buckets"])
+    new_gen = committed + 1
+
+    postings, dl = _delta_tables(df, text_col, id_col, nb)
+    dl = dl.cache()  # feeds postings join, docs write, and the stats agg
+    try:
+        delta = dl.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("dlen").alias("len")).first()
+        # collision detection: ONE column-pruned scan of docs/ (id, dlen)
+        # joined against the broadcast delta-id set
+        delta_ids = df.select(F.col(id_col).alias("__new_id")).distinct()
+        coll = (_live_docs(spark, path, committed)
+                .join(F.broadcast(delta_ids),
+                      F.col("id") == F.col("__new_id"), "left_semi")
+                .select("id", "gen", "dlen").cache())
+        try:
+            dead = coll.agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("dlen").alias("len")).first()
+            if (delta["n"] or 0) == 0 and (dead["n"] or 0) == 0:
+                return committed  # empty delta: nothing to publish
+            _write_gen(postings, path + "/postings", new_gen, ["term_bucket"])
+            _write_gen(dl, path + "/docs", new_gen, [])
+            if (dead["n"] or 0) > 0:
+                _write_gen(coll.select("id", F.col("gen").alias("dead_gen")),
+                           path + "/deleted", new_gen, [])
+            n_docs = float(st["n_docs"]) - (dead["n"] or 0) + (delta["n"] or 0)
+            total = (float(st["total_len"]) - float(dead["len"] or 0.0)
+                     + float(delta["len"] or 0.0))
+            stats = spark.createDataFrame(
+                [(n_docs, total, (total / n_docs) if n_docs else 0.0, nb)],
+                "n_docs double, total_len double, avgdl double, "
+                "num_buckets int")
+            _write_gen(stats, path + "/stats", new_gen, [])
+            segments.commit_gen(path, new_gen)
+            return new_gen
+        finally:
+            coll.unpersist()
+    finally:
+        dl.unpersist()
+
+
+def compact_fulltext_index(spark, path: str) -> None:
+    """Rewrite the live rows as a fresh single-generation index and swap it
+    in (journaled — interrupt anywhere and re-run to finish). Bounds the
+    tombstone set and the per-term-bucket file count that pure appends
+    accumulate; run it on the same cadence Lucene runs segment merges."""
+    segments.finish_swap(path)  # a prior compact died mid-swap: finish it
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed fulltext index at {path}")
+    segments.clean_uncommitted(path, _FT_PARTS)
+    staging = path + ".compact.staging"
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    live_p = _apply_tombstones(
+        spark, path, committed,
+        (spark.read.parquet(path + "/postings")
+         .filter(F.col("gen") <= committed)), "id").drop("gen")
+    _write_gen(live_p, staging + "/postings", 0, ["term_bucket"])
+    _write_gen(_live_docs(spark, path, committed).drop("gen"),
+               staging + "/docs", 0, [])
+    st = (spark.read.parquet(path + "/stats")
+          .filter(F.col("gen") == committed).drop("gen"))
+    _write_gen(st, staging + "/stats", 0, [])
+    segments.commit_gen(staging, 0)
+    segments.compact_swap(path, staging)
 
 
 def bm25_query_indexed(spark, path: str, query: str, limit: int = 20,
@@ -181,8 +349,16 @@ def bm25_query_indexed(spark, path: str, query: str, limit: int = 20,
     Lucene's actual behavior (index stats are not filter-local), whereas
     ``bm25_search(group_ids=...)`` recomputes stats over the filtered
     corpus; exact scan/indexed parity therefore holds for unfiltered
-    queries (the pinned case)."""
-    st = spark.read.parquet(path + "/stats").first()
+    queries (the pinned case).
+
+    Reads the latest COMMITTED generation (see update_fulltext_index):
+    gen <= committed is a partition filter, tombstones are a broadcast
+    anti-join — a half-finished concurrent update is invisible."""
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed fulltext index at {path}")
+    st = (spark.read.parquet(path + "/stats")
+          .filter(F.col("gen") == committed).first())
     n_docs, avgdl, nb = st["n_docs"], st["avgdl"], st["num_buckets"]
     terms = fulltext_terms(query)
     if not terms:
@@ -190,8 +366,10 @@ def bm25_query_indexed(spark, path: str, query: str, limit: int = 20,
                 .select(F.col("id").alias(id_col), F.lit(0.0).alias("score")))
     buckets = sorted({term_bucket(t, nb) for t in terms})
     pruned = (spark.read.parquet(path + "/postings")
+              .filter(F.col("gen") <= committed)
               .filter(F.col("term_bucket").isin(buckets))
               .filter(F.col("term").isin(terms)))
+    pruned = _apply_tombstones(spark, path, committed, pruned, "id")
     if group_ids:
         pruned = pruned.filter(F.col("group_id").isin(group_ids))
     # (id, term) is unique in the postings, so count(*) == countDistinct(id)

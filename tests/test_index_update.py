@@ -1,0 +1,216 @@
+"""Incremental index maintenance (kgspark.segments protocol).
+
+The reference maintains its Lucene/vector indexes incrementally — every
+add_episode upserts into indexes created once by
+build_indices_and_constraints (/root/reference/graphiti_core/utils/
+maintenance/graph_data_operations.py:73-80) — so the batch engine must
+grow its persisted BM25/ANN indexes per delta batch without corpus
+rebuilds. Invariant under test everywhere: an index built on corpus A and
+updated with delta B behaves EXACTLY like an index freshly built on the
+logical current corpus (A's surviving docs + B), including re-crawled ids
+replacing their old versions.
+"""
+
+import pytest
+
+pd = pytest.importorskip("pandas")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kgspark import datapipe as dp  # noqa: E402
+from kgspark import fulltext, segments  # noqa: E402
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["uuid", "fact"]))
+
+
+def _corpus_a(spark):
+    rows = [(i, f"alpha doc {i} " + " ".join(
+        ["join"] * (i % 4) + ["shuffle"] * (i % 3) + [f"w{i % 7}"]))
+        for i in range(1, 41)]
+    return _docs_df(spark, rows)
+
+
+def _delta_b(spark):
+    # 15 brand-new docs + 10 re-crawls of corpus-A ids with CHANGED text
+    # (one of them, id 5, re-crawls to text with different length and terms)
+    rows = [(i, f"beta doc {i} shuffle scan w{i % 5}")
+            for i in range(100, 115)]
+    rows += [(i, f"recrawled {i} join join gamma") for i in range(1, 11)]
+    return _docs_df(spark, rows)
+
+
+def _logical_corpus(spark):
+    # corpus A minus the 10 re-crawled originals, plus all of delta B
+    a = _corpus_a(spark).filter(~F.col("uuid").between(1, 10))
+    return a.unionByName(_delta_b(spark))
+
+
+QUERIES = ("join shuffle", "gamma", "beta scan", "alpha w3", "absentterm")
+
+
+def _idx_scores(spark, path, q):
+    return {r["uuid"]: r["score"] for r in
+            fulltext.bm25_query_indexed(spark, path, q, limit=100).collect()}
+
+
+def _scan_scores(df, q):
+    return {r["uuid"]: r["score"] for r in
+            fulltext.bm25_search(df, "fact", q, limit=100).collect()}
+
+
+def test_fulltext_update_matches_fresh_build(spark, tmp_path):
+    path = str(tmp_path / "ft")
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", path,
+                                  num_buckets=16)
+    gen = fulltext.update_fulltext_index(_delta_b(spark), "fact", path)
+    assert gen == 1 and segments.committed_gen(path) == 1
+    logical = _logical_corpus(spark)
+    for q in QUERIES:
+        scan = _scan_scores(logical, q)
+        idx = _idx_scores(spark, path, q)
+        assert set(idx) == set(scan), q
+        for k in scan:
+            assert idx[k] == pytest.approx(scan[k], abs=1e-12), (q, k)
+
+
+def test_fulltext_second_update_tombstones_chain(spark, tmp_path):
+    # a doc re-crawled TWICE: gen-2 must tombstone the gen-1 version (not
+    # the long-dead gen-0 one), and scores must track the latest text
+    path = str(tmp_path / "ft2")
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", path,
+                                  num_buckets=16)
+    fulltext.update_fulltext_index(_delta_b(spark), "fact", path)
+    third = _docs_df(spark, [(1, "delta delta final"),
+                             (200, "fresh delta doc")])
+    assert fulltext.update_fulltext_index(third, "fact", path) == 2
+    logical = (_logical_corpus(spark).filter("uuid <> 1")
+               .unionByName(third))
+    for q in ("delta final", "gamma", "join shuffle"):
+        scan = _scan_scores(logical, q)
+        idx = _idx_scores(spark, path, q)
+        assert set(idx) == set(scan), q
+        for k in scan:
+            assert idx[k] == pytest.approx(scan[k], abs=1e-12), (q, k)
+
+
+def test_fulltext_uncommitted_gen_is_invisible_then_cleaned(spark, tmp_path):
+    # crash simulation: delete the gen-1 commit marker after an update —
+    # readers must see the PRE-update snapshot; the next update must clean
+    # the orphan rows and land correctly as the new gen 1
+    from pathlib import Path
+    path = str(tmp_path / "ft3")
+    a = _corpus_a(spark)
+    fulltext.build_fulltext_index(a, "fact", path, num_buckets=16)
+    pre = {q: _idx_scores(spark, path, q) for q in QUERIES}
+    fulltext.update_fulltext_index(_delta_b(spark), "fact", path)
+    (Path(path) / "_commits" / "gen_1").unlink()  # "crash" before commit
+    assert segments.committed_gen(path) == 0
+    for q in QUERIES:
+        now = _idx_scores(spark, path, q)
+        assert set(now) == set(pre[q]) and all(
+            now[k] == pytest.approx(pre[q][k], abs=1e-12) for k in now), q
+    # recovery: re-run the update; orphaned gen-1 dirs are removed first
+    removed = fulltext.update_fulltext_index(_delta_b(spark), "fact", path)
+    assert removed == 1
+    logical = _logical_corpus(spark)
+    for q in QUERIES:
+        scan = _scan_scores(logical, q)
+        idx = _idx_scores(spark, path, q)
+        assert set(idx) == set(scan) and all(
+            idx[k] == pytest.approx(scan[k], abs=1e-12) for k in scan), q
+
+
+def test_fulltext_compact_preserves_scores_and_purges(spark, tmp_path):
+    from pathlib import Path
+    path = str(tmp_path / "ft4")
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", path,
+                                  num_buckets=16)
+    fulltext.update_fulltext_index(_delta_b(spark), "fact", path)
+    before = {q: _idx_scores(spark, path, q) for q in QUERIES}
+    n_rows_before = spark.read.parquet(path + "/postings").count()
+    fulltext.compact_fulltext_index(spark, path)
+    assert segments.committed_gen(path) == 0  # fresh single generation
+    assert not (Path(path) / "deleted").exists()  # tombstones purged
+    assert spark.read.parquet(path + "/postings").count() < n_rows_before
+    for q in QUERIES:
+        after = _idx_scores(spark, path, q)
+        assert set(after) == set(before[q]) and all(
+            after[k] == pytest.approx(before[q][k], abs=1e-12)
+            for k in after), q
+    # the compacted index keeps accepting updates
+    fulltext.update_fulltext_index(
+        _docs_df(spark, [(300, "gamma gamma")]), "fact", path)
+    assert 300 in _idx_scores(spark, path, "gamma")
+
+
+def test_fulltext_update_guards(spark, tmp_path):
+    path = str(tmp_path / "ft5")
+    with pytest.raises(ValueError, match="no committed fulltext index"):
+        fulltext.update_fulltext_index(_corpus_a(spark), "fact", path)
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", path,
+                                  num_buckets=16)
+    dupes = _docs_df(spark, [(7, "x"), (7, "y")])
+    with pytest.raises(ValueError, match="duplicate id"):
+        fulltext.update_fulltext_index(dupes, "fact", path)
+    # empty delta: no-op, no new generation published
+    empty = _docs_df(spark, [(0, "x")]).filter("uuid < 0")
+    assert fulltext.update_fulltext_index(empty, "fact", path) == 0
+
+
+def _emb_df(spark, ids, shift=0.0):
+    import numpy as np
+    rows = []
+    for i in ids:
+        rng = np.random.RandomState(i)
+        v = rng.randn(16) + shift
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+
+def test_ann_update_matches_fresh_build(spark, tmp_path):
+    path = str(tmp_path / "ann")
+    a = _emb_df(spark, range(1, 50))
+    dp.build_ann_index(a, path, n_planes=8)
+    # delta: 20 new vectors + 5 re-embedded ids (DIFFERENT vectors — they
+    # may move buckets, which only tombstoning handles correctly)
+    delta = _emb_df(spark, list(range(100, 120)) + list(range(1, 6)),
+                    shift=0.8)
+    assert dp.update_ann_index(delta, path, n_planes=8) == 1
+    logical = a.filter("vec_id >= 6").unionByName(delta)
+    qv = [float(x) for x in
+          _emb_df(spark, [999]).first()["embedding"]]
+    # full-probe width == exact brute force over the logical corpus
+    got = [(r["id"], r["cos"]) for r in
+           dp.ann_query_indexed(spark, path, qv, k=10, n_planes=8,
+                                probe_hamming=8).collect()]
+    want = [(r["id"], r["cos"]) for r in
+            dp.ann_bruteforce(logical, qv, 10).collect()]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-12)
+    # compaction preserves results and keeps accepting updates
+    dp.compact_ann_index(spark, path)
+    got2 = [r["id"] for r in
+            dp.ann_query_indexed(spark, path, qv, k=10, n_planes=8,
+                                 probe_hamming=8).collect()]
+    assert got2 == [i for i, _ in got]
+    dp.update_ann_index(_emb_df(spark, [500]), path, n_planes=8)
+    assert segments.committed_gen(path) == 1
+
+
+def test_ivf_update_matches_fresh_assignment(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    a = _emb_df(spark, range(1, 40))
+    dp.build_ivf_index(a, path, n_clusters=4, iters=2)
+    delta = _emb_df(spark, list(range(200, 215)) + [1, 2], shift=0.5)
+    assert dp.update_ivf_index(delta, path) == 1
+    logical = a.filter("vec_id > 2").unionByName(delta)
+    qv = [float(x) for x in _emb_df(spark, [998]).first()["embedding"]]
+    # nprobe == n_clusters degenerates to exact brute force
+    got = [r["id"] for r in
+           dp.ann_ivf_indexed(spark, path, qv, k=8, nprobe=4).collect()]
+    want = [r["id"] for r in dp.ann_bruteforce(logical, qv, 8).collect()]
+    assert got == want
