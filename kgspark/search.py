@@ -275,6 +275,20 @@ def episodes_by_mentions(edges: DataFrame, episodes: DataFrame,
     return episodes.join(F.broadcast(ep_ids), "uuid", "left_semi")
 
 
+def communities_by_nodes(node_uuids: list[str], communities: DataFrame,
+                         community_members: DataFrame) -> DataFrame:
+    """Nodes→communities lookup (get_communities_by_nodes,
+    search_utils.py:118-140): DISTINCT community rows holding a HAS_MEMBER
+    edge to any of the given nodes. The uuid list is a literal (it arrives
+    from the caller, like the reference's ``$uuids`` parameter), so the
+    members scan filters before its semi join and only the matching
+    communities' rows come back — both joins stay id-keyed."""
+    comm_ids = (community_members
+                .filter(F.col("node_uuid").isin(node_uuids))
+                .select(F.col("community_uuid").alias("uuid")).distinct())
+    return communities.join(F.broadcast(comm_ids), "uuid", "left_semi")
+
+
 def nodes_and_edges_by_episode(episode_uuids: list[str], episodes: DataFrame,
                                edges: DataFrame, mentions: DataFrame,
                                nodes: DataFrame) -> dict[str, DataFrame]:

@@ -65,3 +65,24 @@ def test_episodes_by_mentions(spark, graph):
         graph["nodes"])
     edge_ids = {r["uuid"] for r in back["edges"].select("uuid").collect()}
     assert {r["uuid"] for r in some_edges.select("uuid").collect()} <= edge_ids
+
+
+def test_communities_by_nodes(spark, graph):
+    # nodes→communities lookup (get_communities_by_nodes,
+    # search_utils.py:118-140): DISTINCT communities with a HAS_MEMBER
+    # edge to any queried node
+    from kgspark import communities as km
+    built = km.build_communities(graph["nodes"], graph["edges"])
+    comms = built["communities"].localCheckpoint()
+    members = built["community_members"].localCheckpoint()
+    some = [r["node_uuid"] for r in
+            members.orderBy("node_uuid").limit(3).collect()]
+    want = {r["community_uuid"] for r in
+            members.filter(F.col("node_uuid").isin(some)).collect()}
+    got = ks.communities_by_nodes(some, comms, members)
+    got_ids = [r["uuid"] for r in got.collect()]
+    assert set(got_ids) == want and want
+    assert len(got_ids) == len(set(got_ids))  # DISTINCT like the Cypher
+    # a node in no community contributes nothing
+    none = ks.communities_by_nodes(["no-such-node"], comms, members)
+    assert none.count() == 0
