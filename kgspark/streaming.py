@@ -38,7 +38,8 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
 
 def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
                        checkpoint_dir: str | None = None,
-                       max_files_per_trigger: int = 4):
+                       max_files_per_trigger: int = 4,
+                       fulltext_index_dir: str | None = None):
     """Start (availableNow) a stream that incrementally maintains the graph
     tables under ``base``. Returns the StreamingQuery; callers
     ``awaitTermination`` it.
@@ -48,7 +49,16 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
     overwritten. Recompute-the-partition beats row-level merge here because
     dedup/linking/temporal closure are group-global — the same reason the
     reference re-searches the whole graph per episode.
-    """
+
+    ``fulltext_index_dir``: also keep a persisted BM25 index over the page
+    text fresh per micro-batch (the reference updates its Lucene indexes on
+    every add_episode; here each batch's urls fold in as one committed
+    generation via ``fulltext.update_fulltext_index`` — O(batch), no corpus
+    re-tokenize). The delta is each batch url's CURRENT latest-crawl row,
+    so the index's live doc per url always equals the page the graph
+    recompute chose, and a foreachBatch REPLAY after a failure re-lands the
+    same rows (the replayed generation tombstones its own previous copy —
+    convergent, not duplicating)."""
     bronze = str(Path(base) / "_bronze_pages")
     checkpoint_dir = checkpoint_dir or str(Path(base) / "_stream_checkpoint")
 
@@ -63,6 +73,8 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
         (batch_df.write.mode("append").partitionBy("group_id").parquet(bronze))
         dirty = [r["group_id"] for r in
                  batch_df.select("group_id").distinct().collect()]
+        batch_urls = (batch_df.select("url").distinct()
+                      .localCheckpoint()) if fulltext_index_dir else None
         batch_df.unpersist()
         # invalidate lineage for dirty groups -> run_resumable recomputes them
         for g in dirty:
@@ -80,6 +92,17 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
                      .withColumn("__rn", F.row_number().over(w))
                      .filter(F.col("__rn") == 1).drop("__rn"))
         kio.run_resumable(spark, all_pages, base, compute_embeddings=False)
+        if fulltext_index_dir:
+            from kgspark import fulltext, segments
+            delta = all_pages.join(batch_urls, "url", "left_semi")
+            if segments.committed_gen(fulltext_index_dir) is None:
+                fulltext.build_fulltext_index(delta, "text",
+                                              fulltext_index_dir,
+                                              id_col="url")
+            else:
+                fulltext.update_fulltext_index(delta, "text",
+                                               fulltext_index_dir,
+                                               id_col="url")
 
     return (read_pages_stream(spark, input_dir, max_files_per_trigger)
             .writeStream

@@ -131,3 +131,50 @@ def test_recrawl_picks_latest_deterministically(spark, tmp_path):
     q.awaitTermination(300)
     facts = [r["fact"] for r in kio.read_table(spark, base, "edges").collect()]
     assert facts == ["Priya Sharma works for Glowco."]
+
+
+def test_incremental_ingest_maintains_fulltext_index(spark, tmp_path):
+    # fulltext_index_dir keeps a persisted BM25 index fresh per micro-batch
+    # (the reference updates Lucene on every add_episode); re-crawled urls
+    # must REPLACE their old version in the index, and the final indexed
+    # scores must match a from-scratch bm25_search over the latest-crawl
+    # corpus to float precision
+    import pandas as pd
+
+    from kgspark import fulltext, segments
+
+    pdf = pages_pandas(60)
+    inp = tmp_path / "inc_idx"
+    inp.mkdir()
+    rec = pdf.iloc[:5].copy()
+    rec["warc_ts"] = rec["warc_ts"] + pd.Timedelta(days=30)
+    rec["text"] = "updated recrawl content about " + rec["url"]
+    for b, part in enumerate((pdf.iloc[:30], pdf.iloc[30:], rec)):
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite") \
+            .parquet(str(inp / f"batch_{b}"))
+    base = str(tmp_path / "graph_idx")
+    idx = str(tmp_path / "ftidx_stream")
+    q = streaming.incremental_ingest(spark, str(inp) + "/*", base,
+                                     max_files_per_trigger=1,
+                                     fulltext_index_dir=idx)
+    q.awaitTermination(300)
+    assert segments.committed_gen(idx) >= 1  # grew incrementally, no rebuild
+    final = pd.concat([pdf[~pdf["url"].isin(rec["url"])], rec])
+    corpus = spark.createDataFrame(final)
+    queries = ["updated recrawl content",
+               " ".join(str(pdf["text"].iloc[40]).split()[:4])]
+    for qy in queries:
+        scan = {r["url"]: r["score"] for r in
+                fulltext.bm25_search(corpus, "text", qy, limit=200,
+                                     id_col="url").collect()}
+        got = {r["url"]: r["score"] for r in
+               fulltext.bm25_query_indexed(spark, idx, qy, limit=200,
+                                           id_col="url").collect()}
+        assert set(got) == set(scan), qy
+        for k in scan:
+            assert got[k] == __import__("pytest").approx(scan[k], abs=1e-12)
+    # the re-crawled doc ranks for its NEW text, not the old one
+    assert set(rec["url"]) <= {r["url"] for r in
+                               fulltext.bm25_query_indexed(
+                                   spark, idx, "updated recrawl content",
+                                   limit=200, id_col="url").collect()}
