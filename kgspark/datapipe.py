@@ -369,15 +369,36 @@ def build_ann_index(emb: DataFrame, path: str, n_planes: int = 12,
     over the whole table per query (the r1 weakness). At 10^12 scale this
     is the difference between a full scan and touching a handful of
     partitions."""
+    import json as _json
     import shutil
     shutil.rmtree(path, ignore_errors=True)
     _ann_write_gen(_bucketed_vectors(emb, n_planes, id_col, emb_col),
                    path + "/vectors", 0, ["bucket"])
+    from pathlib import Path as _P
     from kgspark import segments
+    # n_planes is baked into every stored bucket: persist it so updates and
+    # queries can't silently mix bucket widths (a mismatched caller value
+    # would probe/append inconsistent buckets and lose vectors)
+    (_P(path) / "_meta.json").write_text(_json.dumps({"n_planes": n_planes}))
     segments.commit_gen(path, 0)
 
 
-def update_ann_index(emb: DataFrame, path: str, n_planes: int = 12,
+def _ann_check_planes(path: str, n_planes: int | None, op: str,
+                      default: int = 12) -> int:
+    """Validate/resolve n_planes against the index's stored metadata."""
+    import json as _json
+    from pathlib import Path as _P
+    meta = _P(path) / "_meta.json"
+    if not meta.exists():  # pre-metadata index: trust the caller
+        return n_planes if n_planes is not None else default
+    stored = int(_json.loads(meta.read_text())["n_planes"])
+    if n_planes is not None and n_planes != stored:
+        raise ValueError(f"{op}: n_planes={n_planes} does not match the "
+                         f"index at {path} (built with {stored})")
+    return stored
+
+
+def update_ann_index(emb: DataFrame, path: str, n_planes: int | None = None,
                      id_col: str = "vec_id",
                      emb_col: str = "embedding") -> int:
     """Fold a delta batch of vectors into an existing ANN index as a new
@@ -400,6 +421,7 @@ def update_ann_index(emb: DataFrame, path: str, n_planes: int = 12,
     if dup is not None:
         raise ValueError(f"update_ann_index: duplicate id {dup[0]!r} "
                          "in delta batch — one row per id per batch")
+    n_planes = _ann_check_planes(path, n_planes, "update_ann_index")
     new_gen = committed + 1
     delta_ids = emb.select(F.col(id_col).alias("__new_id")).distinct()
     live_ids = _ann_live(
@@ -436,15 +458,16 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
                      (spark.read.parquet(path + "/vectors")
                       .filter(F.col("gen") <= committed)), id_col).drop("gen")
     _ann_write_gen(live, staging + "/vectors", 0, [part_col])
-    cfile = _P(path) / "_centroids.json"
-    if cfile.exists():
-        shutil.copy(cfile, _P(staging) / "_centroids.json")
+    for side in ("_centroids.json", "_meta.json"):
+        f = _P(path) / side
+        if f.exists():
+            shutil.copy(f, _P(staging) / side)
     segments.commit_gen(staging, 0)
     segments.compact_swap(path, staging)
 
 
 def ann_query_indexed(spark, path: str, query_vec: list[float], k: int = 10,
-                      n_planes: int = 12, probe_hamming: int = 2,
+                      n_planes: int | None = None, probe_hamming: int = 2,
                       id_col: str = "vec_id",
                       emb_col: str = "embedding") -> DataFrame:
     """Top-k over a persisted ANN index: enumerate buckets within
@@ -458,6 +481,7 @@ def ann_query_indexed(spark, path: str, query_vec: list[float], k: int = 10,
     committed = segments.committed_gen(path)
     if committed is None:
         raise ValueError(f"no committed ANN index at {path}")
+    n_planes = _ann_check_planes(path, n_planes, "ann_query_indexed")
     qv = np.asarray(query_vec, dtype=np.float64)
     planes = _hyperplanes(len(query_vec), n_planes)
     qbits = [(1 if s else 0) for s in (planes @ qv) > 0]

@@ -214,3 +214,22 @@ def test_ivf_update_matches_fresh_assignment(spark, tmp_path):
            dp.ann_ivf_indexed(spark, path, qv, k=8, nprobe=4).collect()]
     want = [r["id"] for r in dp.ann_bruteforce(logical, qv, 8).collect()]
     assert got == want
+
+
+def test_ann_index_pins_n_planes(spark, tmp_path):
+    # n_planes is baked into every stored bucket; the index remembers it so
+    # an update or query with a mismatched value fails loudly instead of
+    # probing/appending inconsistent buckets
+    path = str(tmp_path / "annp")
+    a = _emb_df(spark, range(1, 20))
+    dp.build_ann_index(a, path, n_planes=8)
+    with pytest.raises(ValueError, match="n_planes=6 does not match"):
+        dp.update_ann_index(_emb_df(spark, [50]), path, n_planes=6)
+    with pytest.raises(ValueError, match="does not match"):
+        dp.ann_query_indexed(spark, path, [0.1] * 16, n_planes=12).collect()
+    # omitted -> resolved from the index metadata (survives compaction)
+    dp.update_ann_index(_emb_df(spark, [50]), path)
+    dp.compact_ann_index(spark, path)
+    qv = [float(x) for x in _emb_df(spark, [999]).first()["embedding"]]
+    got = dp.ann_query_indexed(spark, path, qv, k=5, probe_hamming=8)
+    assert got.count() == 5
