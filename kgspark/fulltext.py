@@ -269,6 +269,16 @@ def update_fulltext_index(df: DataFrame, text_col: str, path: str,
     st = (spark.read.parquet(path + "/stats")
           .filter(F.col("gen") == committed).first())
     nb = int(st["num_buckets"])
+    # group_id is either in every generation's postings or none — a delta
+    # that disagrees with the build would read back as NULL group rows and
+    # silently vanish from group-filtered queries
+    idx_grouped = "group_id" in spark.read.parquet(path + "/postings").columns
+    if idx_grouped != ("group_id" in df.columns):
+        raise ValueError(
+            "update_fulltext_index: the index was built "
+            f"{'WITH' if idx_grouped else 'WITHOUT'} a group_id column but "
+            "the delta batch "
+            f"{'lacks' if idx_grouped else 'carries'} one")
     new_gen = committed + 1
 
     postings, dl = _delta_tables(df, text_col, id_col, nb)

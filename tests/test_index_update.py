@@ -233,3 +233,21 @@ def test_ann_index_pins_n_planes(spark, tmp_path):
     qv = [float(x) for x in _emb_df(spark, [999]).first()["embedding"]]
     got = dp.ann_query_indexed(spark, path, qv, k=5, probe_hamming=8)
     assert got.count() == 5
+
+
+def test_fulltext_update_rejects_group_schema_drift(spark, tmp_path):
+    # group_id must be all-generations-or-none: a delta disagreeing with
+    # the build would read back as NULL group rows and silently vanish
+    # from group-filtered queries
+    path = str(tmp_path / "ftg")
+    grouped = _corpus_a(spark).withColumn("group_id", F.lit("g0"))
+    fulltext.build_fulltext_index(grouped, "fact", path, num_buckets=8)
+    with pytest.raises(ValueError, match="WITH a group_id"):
+        fulltext.update_fulltext_index(_delta_b(spark), "fact", path)
+    path2 = str(tmp_path / "ftg2")
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", path2,
+                                  num_buckets=8)
+    with pytest.raises(ValueError, match="WITHOUT a group_id"):
+        fulltext.update_fulltext_index(
+            _delta_b(spark).withColumn("group_id", F.lit("g1")),
+            "fact", path2)
