@@ -251,3 +251,37 @@ def test_fulltext_update_rejects_group_schema_drift(spark, tmp_path):
         fulltext.update_fulltext_index(
             _delta_b(spark).withColumn("group_id", F.lit("g1")),
             "fact", path2)
+
+
+def test_fulltext_compact_crash_midswap_recovers(spark, tmp_path):
+    # compaction journal: marker written only after staging is fully
+    # committed, so recovery (finish_swap at the next writer's entry) is
+    # unconditional — drop what remains of the old root, move staging in
+    import shutil
+    from pathlib import Path
+    path = str(tmp_path / "ftc")
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", path,
+                                  num_buckets=8)
+    fulltext.update_fulltext_index(_delta_b(spark), "fact", path)
+    want = {q: _idx_scores(spark, path, q) for q in QUERIES}
+    # stage a full compacted copy + journal marker, then "crash" with the
+    # old root half-deleted (the worst interruption point)
+    staging = path + ".compact.staging"
+    shutil.copytree(path, staging)
+    marker = segments.swap_marker(path)
+    marker.write_text(staging)
+    shutil.rmtree(Path(path) / "docs")  # partial delete of the old root
+    # next writer entry finishes the swap before doing anything else
+    gen = fulltext.update_fulltext_index(
+        _docs_df(spark, [(400, "gamma fresh")]), "fact", path)
+    assert gen == 2 and not marker.exists() and not Path(staging).exists()
+    got = _idx_scores(spark, path, "gamma")
+    assert 400 in got
+    for q in QUERIES:
+        now = {k: v for k, v in _idx_scores(spark, path, q).items()
+               if k != 400}
+        # pre-crash docs keep their pre-crash scores (400's arrival only
+        # perturbs stats, so compare on the query with no 400 overlap)
+        if q == "gamma":
+            continue
+        assert set(now) == set(want[q]), q
