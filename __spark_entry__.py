@@ -481,8 +481,21 @@ def q_bm25_indexed(spark, sf_dir):
     if path is None:
         path = tempfile.mkdtemp(prefix="kgspark_bm25_idx_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-        flt.build_fulltext_index(_t(spark, sf_dir, "documents"), "text",
+        docs = _t(spark, sf_dir, "documents")
+        # exercise the INCREMENTAL maintenance path (r4: update_fulltext_
+        # index, the batch analog of the reference upserting episodes into
+        # Lucene indexes built once): gen 0 = ~2/3 of the corpus, gen 1 =
+        # the rest, gen 2 = a slice RE-INGESTED verbatim (tombstones its
+        # gen-0/1 rows). The live index == the full table, so the oracle
+        # below scores the plain corpus — hash-green proves the
+        # generation/tombstone algebra, not just the formula.
+        third = F.pmod(F.abs(F.hash("doc_id")), F.lit(3))
+        flt.build_fulltext_index(docs.filter(third != 0), "text",
                                  path, id_col="doc_id")
+        flt.update_fulltext_index(docs.filter(third == 0), "text",
+                                  path, id_col="doc_id")
+        flt.update_fulltext_index(docs.filter(third == 1), "text",
+                                  path, id_col="doc_id")
         _BM25_INDEX_PATHS[sf_dir] = path
     return (flt.bm25_query_indexed(spark, path, "scan join filter",
                                    limit=25, id_col="doc_id")

@@ -140,19 +140,24 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random,
         s.append(f"{_person(p)} dislikes {_brand(b)}")
     elif role == 1:
         # rotate the explicit-date surface form (r4 grammar breadth:
-        # long, slash Y/M/D, dotted D.M.Y, month-year -> first of month);
-        # textcore.parse_dates resolves every form, so the storyline's
-        # valid_at is format-independent except month-year, which snaps to
-        # the first of the month (extract_edge_dates rule 5 analog)
-        form = sid % 4
+        # long, slash Y/M/D, dotted D.M.Y, month-year -> first of month,
+        # ISO, bare year -> January 1st); textcore.parse_dates resolves
+        # every form, so the storyline's valid_at is format-independent
+        # except month-year/bare-year, which snap to the first of the
+        # month / January 1st (extract_edge_dates rule 5 analog)
+        form = sid % 6
         if form == 0:
             d = _long_date(story_day)
         elif form == 1:
             d = story_day.strftime("%Y/%m/%d")
         elif form == 2:
             d = f"{story_day.day}.{story_day.month:02d}.{story_day.year}"
-        else:
+        elif form == 3:
             d = f"{story_day.strftime('%B')} {story_day.year}"
+        elif form == 4:
+            d = _date_str(story_day)
+        else:
+            d = str(story_day.year)
         s.append(f"{_person(p)} works for {_brand(b)} since {d}")
     elif role == 6:
         s.append(f"{_person(p)} no longer works for {_brand(b)}")
@@ -181,7 +186,7 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random,
     if richness > 1:
         s.extend(_misc_sentences(rng, n_people, n_brands, 3 * (richness - 1)))
     # occasional extra explicitly-dated relation: from/to span, or a
-    # numeric relative phrase ("N days/weeks ago", resolved against the
+    # numeric relative phrase ("N days/weeks/months/years ago", resolved against the
     # page's crawl timestamp by parse_dates)
     if role == 9 and rng.random() < 0.3:
         d0 = BASE_TS + timedelta(days=rng.randint(0, 200))
@@ -190,8 +195,8 @@ def _page_sentences(i: int, n_pages: int, rng: random.Random,
                      f"{_long_date(d0 + timedelta(days=30))}")
         else:
             n = rng.randint(2, 9)
-            dated = (f"{n} days ago" if rng.random() < 0.5
-                     else f"{n} weeks ago")
+            unit = ("days", "weeks", "months", "years")[rng.randint(0, 3)]
+            dated = f"{n} {unit} ago"
         s.append(f"{_campaign(rng.randint(0, 40))} features "
                  f"{_brand(rng.randint(0, n_brands - 1))} {dated}")
     rng.shuffle(s)

@@ -320,16 +320,26 @@ _LONG_DATE = rf"{_MONTH_NAMES} \d{{1,2}}, \d{{4}}"
 _SLASH_DATE = r"\d{4}/\d{2}/\d{2}"
 _DOT_DATE = r"\d{1,2}\.\d{1,2}\.\d{4}"
 _MONTH_YEAR = rf"{_MONTH_NAMES} \d{{4}}"
+# bare year -> January 1st (extract_edge_dates.py:81 rule 5, second half:
+# "If only a year is mentioned, use January 1st"). Century-bounded so
+# quantities ("since 3500 units shipped") never read as dates; trailing \b
+# so a longer digit run ("20240315") can't half-match. LAST in every
+# alternation: a full date must always win over its own year prefix.
+_BARE_YEAR = r"(?:19|20)\d{2}\b"
 _DATE_ALT = rf"(?:{_LONG_DATE}|{_ISO_DATE}|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR})"
-_FROM_TO_RE = re.compile(rf"\bfrom ({_DATE_ALT}) to ({_DATE_ALT})")
-_SINCE_RE = re.compile(rf"\b(?:since|starting) ({_DATE_ALT})")
+_DATE_ALT_Y = rf"(?:{_LONG_DATE}|{_ISO_DATE}|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR}|{_BARE_YEAR})"
+_FROM_TO_RE = re.compile(rf"\bfrom ({_DATE_ALT_Y}) to ({_DATE_ALT_Y})")
+_SINCE_RE = re.compile(rf"\b(?:since|starting) ({_DATE_ALT_Y})")
+# "on <bare year>" stays excluded: "on 2024 units/devices" is common web
+# text and "on" marks a day-precision point in the reference's examples
 _ON_RE = re.compile(rf"\bon ({_DATE_ALT})")
-# "in March 2024" — month-year only: "in 2024-03-15" is not idiomatic and
-# "in <City>" must never be mistaken for a date trigger
-_IN_RE = re.compile(rf"\bin ({_MONTH_YEAR})")
-_UNTIL_RE = re.compile(rf"\buntil ({_DATE_ALT})")
+# "in March 2024" / "in 2024" — month-year or bare year only: "in
+# 2024-03-15" is not idiomatic and "in <City>" must never be a date trigger
+_IN_RE = re.compile(rf"\bin ({_MONTH_YEAR}|{_BARE_YEAR})")
+_UNTIL_RE = re.compile(rf"\buntil ({_DATE_ALT_Y})")
 _REL_RE = re.compile(
-    r"\b(yesterday|last week|last month|\d{1,3} (?:days?|weeks?) ago)\b")
+    r"\b(yesterday|last week|last month|last year"
+    r"|\d{1,3} (?:days?|weeks?|months?|years?) ago)\b")
 # fast-path gate: every absolute form above contains a 4-digit year, so a
 # sentence without one can only carry a relative phrase — one search
 # replaces the absolute-pattern searches on date-free sentences (the
@@ -360,6 +370,9 @@ def _parse_date_token(tok: str) -> datetime | None:
         m = re.fullmatch(r"([A-Za-z]+) (\d{4})", tok)
         if m:  # month-year -> first of month (extract_edge_dates rule 5)
             return datetime(int(m.group(2)), _MONTHS[m.group(1).lower()], 1)
+        m = re.fullmatch(r"(?:19|20)\d{2}", tok)
+        if m:  # bare year -> January 1st (extract_edge_dates rule 5)
+            return datetime(int(tok), 1, 1)
     except (ValueError, KeyError):
         return None
     return None
@@ -408,12 +421,15 @@ def parse_dates_structural(
         m = _REL_RE.search(sentence)
         if m:
             rel = m.group(1)
-            fixed = {"yesterday": 1, "last week": 7, "last month": 30}
+            fixed = {"yesterday": 1, "last week": 7, "last month": 30,
+                     "last year": 365}
             if rel in fixed:
                 rel_days = fixed[rel]
-            else:  # "N days ago" / "N weeks ago"
+            else:  # "N days/weeks/months/years ago" (extract_edge_dates
+                # rule 2; month=30d / year=365d — the same flat convention
+                # as "last month"/"last year" above)
                 n, unit = rel.split()[:2]
-                rel_days = int(n) * (7 if unit.startswith("week") else 1)
+                rel_days = int(n) * {"d": 1, "w": 7, "m": 30, "y": 365}[unit[0]]
     return valid, invalid, explicit, rel_days
 
 

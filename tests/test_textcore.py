@@ -5,7 +5,7 @@ html→text byte determinism, mention rules, triple extraction rules, date
 parsing (explicit / relative / span / present-tense default), linking rule.
 """
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from kgspark import textcore as tc
 
@@ -80,6 +80,51 @@ def test_date_present_tense_defaults_via_caller():
     ref = datetime(2024, 3, 5, 12)
     ts = tc.extract_triples("Alice Wong likes Glowco.", ref)
     assert ts[0].valid_at is None and not ts[0].explicit_dates
+
+
+def test_date_parse_bare_year():
+    # "If only a year is mentioned, use January 1st" (extract_edge_dates
+    # rule 5, second half)
+    ref = datetime(2024, 3, 5, 12)
+    v, i, ex = tc.parse_dates("x works for y since 2019", ref)
+    assert (v, i, ex) == (datetime(2019, 1, 1), None, True)
+    v, i, ex = tc.parse_dates("a sponsors b from 2019 to 2023", ref)
+    assert (v, i, ex) == (datetime(2019, 1, 1), datetime(2023, 1, 1), True)
+    v, i, ex = tc.parse_dates("c features d until 2025", ref)
+    assert (v, i, ex) == (None, datetime(2025, 1, 1), True)
+    v, i, ex = tc.parse_dates("e acquired f in 2021", ref)
+    assert (v, i, ex) == (datetime(2021, 1, 1), None, True)
+    # a full date must always win over its own year prefix
+    v, _, _ = tc.parse_dates("x works for y since 2024/03/15", ref)
+    assert v == datetime(2024, 3, 15)
+    v, _, _ = tc.parse_dates("x works for y since March 2024", ref)
+    assert v == datetime(2024, 3, 1)
+    # century-bounded: quantities never read as years; "on <year>" excluded
+    assert tc.parse_dates("shipped since 3500 units", ref) == (None, None, False)
+    assert tc.parse_dates("standardized on 2024 devices", ref) == (None, None, False)
+    # a longer digit run can't half-match as its year prefix
+    assert tc.parse_dates("tracked since 20240315", ref) == (None, None, False)
+
+
+def test_date_parse_relative_months_years():
+    # rule 2 breadth: month/year-granular relative phrases (flat 30d/365d,
+    # same convention as "last month")
+    ref = datetime(2024, 3, 5, 12)
+    day0 = datetime(2024, 3, 5)
+    v, _, ex = tc.parse_dates("they merged 3 months ago", ref)
+    assert v == day0 - timedelta(days=90) and ex
+    v, _, ex = tc.parse_dates("g acquired h 2 years ago", ref)
+    assert v == day0 - timedelta(days=730) and ex
+    v, _, ex = tc.parse_dates("they partnered last year", ref)
+    assert v == day0 - timedelta(days=365) and ex
+
+
+def test_normalize_fact_strips_new_date_forms():
+    # restatements with/without the new date phrases share a dedup class
+    base = tc.normalize_fact("Priya Sharma works for Glowco")
+    assert tc.normalize_fact("Priya Sharma works for Glowco since 2019") == base
+    assert tc.normalize_fact("Priya Sharma works for Glowco 3 months ago") == base
+    assert tc.normalize_fact("Priya Sharma works for Glowco last year") == base
 
 
 def test_linking_rule():
