@@ -642,17 +642,41 @@ def q_ann_lsh_topk(spark, sf_dir):
             .orderBy(F.desc("cos"), "id"))
 
 
+_IVF_INDEX_PATHS: dict[str, str] = {}
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    # IVF ANN (data-dependent coarse quantizer: deterministic distributed
-    # k-means -> cluster-pruned scan -> exact rescore) run at nprobe ==
-    # n_clusters — the exact regime, oracle-checkable; tests/test_datapipe.py
-    # pins recall and index partition-pruning for the approximate setting
+    # IVF ANN over the PERSISTED cluster-partitioned index (data-dependent
+    # coarse quantizer: deterministic distributed k-means; queries prune to
+    # nprobe cluster partitions at the scan), run at nprobe == n_clusters —
+    # the exact regime, so the brute-force oracle applies regardless of
+    # where the quantizer was trained. Like bm25_indexed, the index is
+    # built over ~2/3 of the vectors, the rest fold in through
+    # update_ivf_index (frozen-centroid assign, the FAISS add path), and a
+    # slice is re-ingested verbatim (tombstoning its old generation): the
+    # live index == the full table, so hash-green covers the
+    # generation/tombstone algebra too. tests/test_datapipe.py pins recall
+    # and partition-pruning for the approximate (nprobe < n_clusters)
+    # setting.
+    import atexit
+    import shutil
+    import tempfile
+
     from kgspark import datapipe as dp
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return (dp.ann_ivf(emb.filter("vec_id <> 0"), qv, k=10,
-                       n_clusters=8, nprobe=8)
+    path = _IVF_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="kgspark_ivf_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        cand = emb.filter("vec_id <> 0")
+        third = F.pmod(F.abs(F.hash("vec_id")), F.lit(3))
+        dp.build_ivf_index(cand.filter(third != 0), path, n_clusters=8)
+        dp.update_ivf_index(cand.filter(third == 0), path)
+        dp.update_ivf_index(cand.filter(third == 1), path)
+        _IVF_INDEX_PATHS[sf_dir] = path
+    return (dp.ann_ivf_indexed(spark, path, qv, k=10, nprobe=8)
             .select("id", F.round("cos", 4).alias("cos"))
             .orderBy(F.desc("cos"), "id"))
 
