@@ -133,3 +133,64 @@ def test_png_decode_roundtrip_random(data):
     means = truth.astype(np.float64).mean(axis=(0, 1))
     assert (got["mean_r"], got["mean_g"], got["mean_b"]) == \
         (float(means[0]), float(means[1]), float(means[2]))
+
+
+_MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December"]
+
+
+def _surface(d, form):
+    """Render a datetime as one of the six absolute surface forms and
+    return (text, expected_parse) — month_year/bare_year snap to the first
+    of the month / January 1st (extract_edge_dates rule 5)."""
+    if form == "long":
+        return f"{_MONTHS[d.month - 1]} {d.day}, {d.year}", d
+    if form == "slash":
+        return d.strftime("%Y/%m/%d"), d
+    if form == "dot":
+        return f"{d.day}.{d.month}.{d.year}", d
+    if form == "month_year":
+        return f"{_MONTHS[d.month - 1]} {d.year}", d.replace(day=1)
+    if form == "iso":
+        return d.strftime("%Y-%m-%d"), d
+    return str(d.year), d.replace(month=1, day=1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.dates(min_value=datetime(1900, 1, 1).date(),
+                max_value=datetime(2099, 11, 28).date()),
+       st.sampled_from(["long", "slash", "dot", "month_year", "iso",
+                        "bare_year"]),
+       st.sampled_from(["since", "starting", "until", "from_to"]))
+def test_date_surface_forms_round_trip(d, form, trigger):
+    # every (surface form x trigger) round-trips through parse_dates to
+    # the expected instant — the grammar cannot silently lose a form
+    d = datetime(d.year, d.month, d.day)
+    ref = datetime(2025, 6, 15, 9)
+    text, want = _surface(d, form)
+    if trigger == "from_to":
+        d2 = d + timedelta(days=30)
+        text2, want2 = _surface(d2, form)
+        v, i, ex = textcore.parse_dates(
+            f"Acme Corp sponsors Beta Fest from {text} to {text2}", ref)
+        assert (v, i, ex) == (want, want2, True)
+    elif trigger == "until":
+        v, i, ex = textcore.parse_dates(
+            f"Acme Corp sponsors Beta Fest until {text}", ref)
+        assert (v, i, ex) == (None, want, True)
+    else:
+        v, i, ex = textcore.parse_dates(
+            f"Acme Corp works for Beta Inc {trigger} {text}", ref)
+        assert (v, i, ex) == (want, None, True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 999),
+       st.sampled_from(["day", "week", "month", "year"]))
+def test_relative_phrases_round_trip(n, unit):
+    mult = {"day": 1, "week": 7, "month": 30, "year": 365}[unit]
+    ref = datetime(2025, 6, 15, 9)
+    v, i, ex = textcore.parse_dates(
+        f"they partnered {n} {unit}s ago", ref)
+    assert v == datetime(2025, 6, 15) - timedelta(days=n * mult)
+    assert i is None and ex
