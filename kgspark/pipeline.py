@@ -111,6 +111,7 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
     # building costs more than the extra regex passes it saves — so it
     # stays an opt-in experiment knob.
     import os
+    _mentions_ckpted = False
     if os.environ.get("KGSPARK_FUSED_EXTRACTION", "0") == "1":
         events = udfs.extract_page_events(
             pages, entity_types, json_possible=json_possible).localCheckpoint()
@@ -119,8 +120,23 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
         mentions_raw = udfs.extract_mentions(pages, entity_types,
                                              json_possible=json_possible)
         triples_raw = udfs.extract_triples(pages)
+        if os.environ.get("KGSPARK_CKPT_MENTIONS", "1") == "1":
+            # LAZY checkpoint: mentions_raw has THREE consumers (the
+            # entities aggregate, the stage-4 mentions table, and the
+            # typed-attribute path). The eager entities checkpoint below
+            # is the first action and materializes it, so a multi-action
+            # caller (write_tables' per-table writes, kg_oracle) reuses
+            # the narrow materialized rows instead of re-running the
+            # dominant mention-extraction Python scan per table — the
+            # event-log attribution showed 3 full-corpus extraction scans
+            # per 6-table job where 2 are expected. Single-action builds
+            # (bench edges.count) pay only the block-manager write/read
+            # of the narrow rows, A/B-measured as noise-level.
+            mentions_raw = mentions_raw.localCheckpoint(eager=False)
+            _mentions_ckpted = True
     if expose_intermediates:
-        mentions_raw = mentions_raw.localCheckpoint(eager=False)
+        if not _mentions_ckpted:
+            mentions_raw = mentions_raw.localCheckpoint(eager=False)
         triples_raw = triples_raw.localCheckpoint(eager=False)
         out["_mentions_raw"] = mentions_raw
         out["_triples_raw"] = triples_raw

@@ -1,9 +1,11 @@
 """One fused kg_job run over a pre-generated corpus, with knobs.
 
-Usage: python tools/kgjob_once.py <pages_dir> <cpus> <shuffle_partitions>
+Usage: python tools/kgjob_once.py <pages_dir> <cpus> <shuffle_partitions> [full]
 Prints RESULT {...} with wall seconds. For A/B-ing session knobs on the
-same input without paying generation each time.
-"""
+same input without paying generation each time. With the optional
+``full`` arg, each timed run writes ALL output tables via io.write_tables
+(the submit_kg_job shape — multi-action, exercises per-table subtree
+reuse) instead of the single-action edges.count()."""
 from __future__ import annotations
 
 import json
@@ -16,6 +18,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     pages_dir, cpus, parts = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    full = len(sys.argv) > 4 and sys.argv[4] == "full"
+    from kgspark import io
     from kgspark.pipeline import build_graph
     from kgspark.session import get_spark
     spark = get_spark("kgjob-once", cpus=cpus, shuffle_partitions=parts)
@@ -25,12 +29,19 @@ def main() -> None:
     wp = pages.limit(2000).localCheckpoint()
     build_graph(wp, check_text=False, compute_embeddings=False)["edges"].count()
     runs = []
-    for _ in range(2):
+    for i in range(2):
         t0 = time.time()
-        n = build_graph(pages, check_text=False,
-                        compute_embeddings=False)["edges"].count()
+        out = build_graph(pages, check_text=False, compute_embeddings=False)
+        if full:
+            import shutil
+            dest = f"/dev/shm/kgjob_full_out_{cpus}"
+            shutil.rmtree(dest, ignore_errors=True)
+            io.write_tables(out, dest)
+            n = spark.read.parquet(f"{dest}/edges").count()
+        else:
+            n = out["edges"].count()
         runs.append(round(time.time() - t0, 2))
-    print("RESULT " + json.dumps({"cpus": cpus, "parts": parts,
+    print("RESULT " + json.dumps({"cpus": cpus, "parts": parts, "full": full,
                                   "edges": n, "runs_sec": runs,
                                   "best": min(runs)}))
 
