@@ -16,13 +16,22 @@ class. Two plans share one aggregate definition:
 
 - single-phase (default): ONE exchange keyed on the duplicate class; Spark's
   map-side partial aggregation is the combiner, so a hub class reaches its
-  reducer as one partial row per map task — load per reducer is
-  O(map_tasks), not O(occurrences). Right whenever per-class duplicate
-  factors are moderate (the measured regime here: ~8 occurrences/class).
+  reducer as one partial ROW per map task. Note the row count is
+  O(map_tasks) but the episodes PAYLOAD is not: partial collect_set states
+  are uncapped (the smallest-1000 slice applies after the final merge —
+  it must, a per-partial cap is only exact per GROUP, see the salted
+  phase), so a class crawled from k distinct urls ships all k urls into
+  one reducer. Right whenever per-class duplicate factors are moderate
+  (the measured regime here: ~8 occurrences/class; at 1.6M bench pages the
+  hottest classes reach ~10^3-10^4 urls — single-digit MB, still fine).
 - two-phase salted (``n_salts>0``): an explicit provenance-url salt spreads
-  one class over ``n_salts`` reducers before a second merge exchange — the
-  north-rule hub treatment for classes hot enough that even one partial row
-  per map task overwhelms a reducer (10^5+ map tasks on a 10^12-doc corpus).
+  one class over ``n_salts`` reducers, each of which caps its bucket to the
+  smallest-1000 (exact: every url in the global smallest-1000 is in its
+  bucket's smallest-1000), before a second bounded merge exchange
+  (≤ n_salts×1000 urls/class). The north-rule hub treatment once single
+  hub classes reach 10^5+ distinct urls (10^12-doc corpora) — flip it via
+  ``KGSPARK_DEDUP_SALTS`` on the full pipeline. Benched at bench scale the
+  extra exchange LOSES (test_scale_shapes), so it stays opt-in.
 
 min/max merge losslessly; provenance merges as set-union then is CAPPED at
 ``max_provenance`` urls (smallest-first, deterministic) with the exact total

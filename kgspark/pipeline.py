@@ -354,8 +354,13 @@ def build_graph(pages: DataFrame, batch_ts: datetime | None = None,
                                         ["src_uuid", "dst_uuid"])
     # lazy checkpoint for the same reason as `mapping`: the edges,
     # edge_invalidations, and episodes table jobs would otherwise each
-    # re-run the triple extraction scan + entity join + dedup exchange
-    edges_merged = dedup.dedup_edges(triples_canon).localCheckpoint(eager=False)
+    # re-run the triple extraction scan + entity join + dedup exchange.
+    # KGSPARK_DEDUP_SALTS>0 flips to the two-phase salted provenance merge
+    # (bounded per-reducer episode payload — the hub treatment once single
+    # duplicate classes reach 10^5+ distinct urls; see dedup.py docstring)
+    dedup_salts = int(os.environ.get("KGSPARK_DEDUP_SALTS", "0"))
+    edges_merged = dedup.dedup_edges(triples_canon, n_salts=dedup_salts) \
+        .localCheckpoint(eager=False)
     edges_resolved, invalidations = temporal.temporal_pass(edges_merged, batch_ts)
 
     if compute_embeddings:

@@ -206,6 +206,28 @@ def test_dedup_single_phase_plan_and_salted_parity(spark):
     assert a == b and len(a) > 50
 
 
+def test_pipeline_dedup_salts_env_knob(spark, monkeypatch):
+    """KGSPARK_DEDUP_SALTS routes the pipeline's provenance merge through
+    the two-phase salted plan (the 10^5+-urls-per-class hub treatment) and
+    the result is identical to the default single-phase plan."""
+    from kgspark import pipeline
+    from kgspark.datagen import pages_spark
+
+    pages = pages_spark(spark, 60, partitions=2)
+    base = pipeline.build_graph(pages, BATCH_TS, check_text=False,
+                                compute_embeddings=False)["edges"]
+
+    def freeze(rows):
+        return {tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in rows}
+
+    monkeypatch.setenv("KGSPARK_DEDUP_SALTS", "4")
+    salted = pipeline.build_graph(pages, BATCH_TS, check_text=False,
+                                  compute_embeddings=False)["edges"]
+    a, b = freeze(base.collect()), freeze(salted.collect())
+    assert a == b and len(a) > 10
+
+
 def test_cc_auto_null_group_rows_survive(spark):
     # ADVICE r3: with any group over the threshold, the small branch's
     # ~isin(big) filter evaluated to NULL (not true) for NULL group ids and

@@ -2,6 +2,11 @@
 and the heaviest stages (with task-skew ratio).
 
 Usage: python tools/joblog_report.py <eventlog-file-or-dir> [top_n_stages]
+           [start_ms end_ms]
+
+With the optional epoch-ms window (kgjob_once prints one per timed run),
+only jobs submitted inside the window are considered — slicing one timed
+run out of a multi-run app log.
 """
 from __future__ import annotations
 
@@ -13,6 +18,7 @@ from pathlib import Path
 def main() -> None:
     p = Path(sys.argv[1])
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    win = (int(sys.argv[3]), int(sys.argv[4])) if len(sys.argv) > 4 else None
     while p.is_dir():  # eventlog_v2 rolling layout: dir of events_* files
         entries = [f for f in p.iterdir() if not f.name.startswith("appstatus")]
         p = max(entries, key=lambda f: f.stat().st_mtime)
@@ -47,6 +53,8 @@ def main() -> None:
                 si = ev["Stage Info"]
                 sid = si["Stage ID"]
                 sub, comp = si.get("Submission Time"), si.get("Completion Time")
+                if win and (sub is None or not win[0] <= sub <= win[1]):
+                    continue
                 stages[sid] = {
                     "name": si["Stage Name"].split("\n")[0][:70],
                     "tasks": si["Number of Tasks"],
@@ -59,6 +67,9 @@ def main() -> None:
                     task_times.setdefault(sid, []).append(
                         ti.get("Finish Time", 0) - ti.get("Launch Time", 0))
 
+    if win:
+        jobs = {j: se for j, se in jobs.items() if win[0] <= se[0] <= win[1]}
+        task_times = {s: t for s, t in task_times.items() if s in stages}
     ordered = sorted(jobs.items())
     total_job = sum((e0 - s) / 1000 for _, (s, e0) in ordered if e0)
     print(f"jobs: {len(ordered)}, sum(job wall) = {total_job:.1f}s")

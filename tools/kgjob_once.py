@@ -5,7 +5,11 @@ Prints RESULT {...} with wall seconds. For A/B-ing session knobs on the
 same input without paying generation each time. With the optional
 ``full`` arg, each timed run writes ALL output tables via io.write_tables
 (the submit_kg_job shape — multi-action, exercises per-table subtree
-reuse) instead of the single-action edges.count()."""
+reuse) instead of the single-action edges.count().
+
+KGSPARK_JOB_RUNS overrides the timed-run count (default 2); each run's
+epoch-ms window is printed so an event log (KGSPARK_EVENTLOG) can be
+sliced per run when attributing driver gaps / stage costs."""
 from __future__ import annotations
 
 import json
@@ -28,8 +32,10 @@ def main() -> None:
     # warmup
     wp = pages.limit(2000).localCheckpoint()
     build_graph(wp, check_text=False, compute_embeddings=False)["edges"].count()
-    runs = []
-    for i in range(2):
+    import os
+    n_runs = int(os.environ.get("KGSPARK_JOB_RUNS", "2"))
+    runs, windows = [], []
+    for i in range(n_runs):
         t0 = time.time()
         out = build_graph(pages, check_text=False, compute_embeddings=False)
         if full:
@@ -40,10 +46,12 @@ def main() -> None:
             n = spark.read.parquet(f"{dest}/edges").count()
         else:
             n = out["edges"].count()
-        runs.append(round(time.time() - t0, 2))
+        t1 = time.time()
+        runs.append(round(t1 - t0, 2))
+        windows.append([int(t0 * 1000), int(t1 * 1000)])
     print("RESULT " + json.dumps({"cpus": cpus, "parts": parts, "full": full,
                                   "edges": n, "runs_sec": runs,
-                                  "best": min(runs)}))
+                                  "best": min(runs), "windows_ms": windows}))
 
 
 if __name__ == "__main__":
