@@ -281,6 +281,14 @@ def run_scaling() -> None:
     with open(bench_dir / "attempts.jsonl", "a") as f:
         f.write(json.dumps(out) + "\n")
     best_path = bench_dir / "best.json"
+    if eff > 1.0:
+        # superlinear N->4N on this workload is physically impossible — it
+        # means the LOW leg was the contaminated one (measured: attempt 26,
+        # 2-core runs 333/596 s vs the 265 s clean best while the 8-core
+        # leg ran pristine). Log the attempt, never promote it to the
+        # evidence of record.
+        print(f"eff {eff} > 1.0: low leg contaminated, not a best")
+        return
     if best_path.exists():
         prev = json.loads(best_path.read_text())
         if prev.get("scaling_efficiency", 0) >= eff:
