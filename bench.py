@@ -139,6 +139,11 @@ def run_default() -> None:
     # makes a contaminated window visible in the output itself.
     kg_job(spark, 3000)
     kg_runs = [kg_job(spark, KG_BENCH_PAGES) for _ in range(2)]
+    # adaptive third run: two honest runs agree within ~15% here (runs_sec
+    # across BENCH_r*.json); a >30% spread means one window was contaminated
+    # by a co-tenant burst, so one more run disambiguates which one
+    if max(r["sec"] for r in kg_runs) > 1.3 * min(r["sec"] for r in kg_runs):
+        kg_runs.append(kg_job(spark, KG_BENCH_PAGES))
     kg = min(kg_runs, key=lambda r: r["sec"])
     kg["runs_sec"] = [r["sec"] for r in kg_runs]
     times["kg_build"] = kg["sec"]
@@ -150,8 +155,14 @@ def run_default() -> None:
 
     for name in headline:
         # run 1 doubles as the warmup (codegen + scan caches); min() reports
-        # the steady-state run unless the second window is the noisy one
-        times[name] = min(timed(name), timed(name))
+        # the steady-state run unless the second window is the noisy one.
+        # Adaptive third run on a >50% disagreement (sub-second queries are
+        # proportionally noisier than kg_build — see the spread note above)
+        a, b = timed(name), timed(name)
+        best = min(a, b)
+        if max(a, b) > 1.5 * best:
+            best = min(best, timed(name))
+        times[name] = best
     total_wall = round(time.time() - total0, 2)
     # headline value = sum of per-query BESTS (steady-state work), so it is
     # comparable across rounds regardless of how many timed repetitions the
@@ -169,7 +180,8 @@ def run_default() -> None:
         "sf": sf,
         "cpus": cpus,
         "kg": kg,
-        "per_query": "best-of-2 (steady-state); value = sum of bests",
+        "per_query": "best-of-2, +1 adaptive run on >50% spread "
+                     "(steady-state); value = sum of bests",
         "steal_pct": round(100 * (steal1 - steal0) / max(tick1 - tick0, 1), 2),
     }))
 
