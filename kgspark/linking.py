@@ -213,33 +213,37 @@ def score_pairs(entities: DataFrame, pairs: DataFrame,
                                                     F.length),
                                         F.lit(0), lambda acc, v: acc + v))
     )
-    a = attrs.select(
+    # The 1024-double embedding is ~80x wider than every other attribute
+    # combined, and only pairs surviving the cheap tests need it: linked
+    # implies (abbrev OR jac >= threshold), so that necessary condition is
+    # evaluated on SLIM rows first and the embeddings join only the
+    # survivors (~1/3 of candidates on the bench corpus). At 10^12 scale
+    # this keeps the 8KB/row arrays out of the full candidate-pair
+    # exchange — the wide join is sized by accepted-ish pairs, not by
+    # blocking recall. The ``linked`` predicate itself is unchanged below,
+    # so the accepted set is identical by construction.
+    slim = attrs.drop("name_embedding")
+    a = slim.select(
         "group_id", F.col("norm_name").alias("norm_a"), F.col("ext_uuid").alias("uuid_a"),
-        F.col("name_embedding").alias("emb_a"), F.col("shingles").alias("sh_a"),
+        F.col("shingles").alias("sh_a"),
         F.col("tokens").alias("tok_a"), F.col("nrm").alias("nrm_a"),
         F.col("tlen").alias("len_a"))
-    b = attrs.select(
+    b = slim.select(
         "group_id", F.col("norm_name").alias("norm_b"), F.col("ext_uuid").alias("uuid_b"),
-        F.col("name_embedding").alias("emb_b"), F.col("shingles").alias("sh_b"),
+        F.col("shingles").alias("sh_b"),
         F.col("tokens").alias("tok_b"), F.col("nrm").alias("nrm_b"),
         F.col("tlen").alias("len_b"))
-    scored = (
+    ea = attrs.select("group_id", F.col("norm_name").alias("norm_a"),
+                      F.col("name_embedding").alias("emb_a"))
+    eb = attrs.select("group_id", F.col("norm_name").alias("norm_b"),
+                      F.col("name_embedding").alias("emb_b"))
+    pre = (
         pairs
         .join(a, ["group_id", "norm_a"])
         .join(b, ["group_id", "norm_b"])
         .withColumn("jac",
                     F.size(F.array_intersect("sh_a", "sh_b"))
                     / F.size(F.array_union("sh_a", "sh_b")))
-        # EXACTLY textcore.cosine: double dot / (norm_a * norm_b), same
-        # left-to-right accumulation order as the Python generator sums —
-        # bitwise-identical to the oracle's decision, and the same formula
-        # the DuckDB oracle's list_cosine_similarity computes (the per-side
-        # norms are hoisted into ``attrs``: same sum order, same sqrt)
-        .withColumn("cos",
-                    F.aggregate(F.zip_with("emb_a", "emb_b",
-                                           lambda x, y: x * y),
-                                F.lit(0.0), lambda acc, v: acc + v)
-                    / (F.col("nrm_a") * F.col("nrm_b")))
         .withColumn(
             "abbrev",
             (F.size("tok_a") == F.size("tok_b"))
@@ -253,6 +257,25 @@ def score_pairs(entities: DataFrame, pairs: DataFrame,
                          lambda x: x),
             ),
         )
+        # the necessary condition of ``linked`` — pushes the wide embedding
+        # join below from all candidates down to the survivors
+        .filter(F.col("abbrev")
+                | (F.col("jac") >= F.lit(LINK_JACCARD_THRESHOLD)))
+    )
+    scored = (
+        pre
+        .join(ea, ["group_id", "norm_a"])
+        .join(eb, ["group_id", "norm_b"])
+        # EXACTLY textcore.cosine: double dot / (norm_a * norm_b), same
+        # left-to-right accumulation order as the Python generator sums —
+        # bitwise-identical to the oracle's decision, and the same formula
+        # the DuckDB oracle's list_cosine_similarity computes (the per-side
+        # norms are hoisted into ``attrs``: same sum order, same sqrt)
+        .withColumn("cos",
+                    F.aggregate(F.zip_with("emb_a", "emb_b",
+                                           lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, v: acc + v)
+                    / (F.col("nrm_a") * F.col("nrm_b")))
         .withColumn(
             "linked",
             F.col("abbrev")
