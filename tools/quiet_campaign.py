@@ -1,0 +1,149 @@
+"""Wait for a quiet co-tenant window, then run ONE bracketed 2->8 campaign.
+
+Automates the attempt-27 protocol (BENCH/BASELINE.md §10): the sandbox's
+co-tenant interference is bursty, so instead of scheduling a campaign into
+an arbitrary window, poll until the box is actually quiet and bracket the
+scored pairing with its own controls:
+
+  1. poll: 12 s pure-CPU probe on 8 pinned cores (mloops/proc + steal%%) —
+     cheap, no Spark; repeat every poll_sec until it clears the threshold;
+  2. A8#1: one pinned local[8] kgjob_once run — ABORT the attempt (back to
+     polling) if it lands above --a8-cap (the probe cannot see
+     bandwidth-type load, the real job can);
+  3. B2: one pinned local[2] run;
+  4. A8#2: bracket re-run — flags contamination that arrived mid-campaign;
+  5. append the pairing to BENCH/attempts.jsonl with the protocol note.
+     Promotion to best.json stays manual (same >1.0 refusal rule as
+     bench.run_scaling).
+
+Usage: python tools/quiet_campaign.py [max_hours] [pages_dir]
+Exit 0 with "CAMPAIGN {...}" on a completed pairing; exit 3 if no quiet
+window appeared inside max_hours.
+"""
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+POLL_SEC = int(os.environ.get("KGSPARK_QUIET_POLL_SEC", "120"))
+PROBE_SEC = 12
+# clean 8-core delivery on this box: ~33.5 Mloops/proc, steal < 0.5%%
+MIN_MLOOPS = float(os.environ.get("KGSPARK_QUIET_MIN_MLOOPS", "31"))
+MAX_STEAL = float(os.environ.get("KGSPARK_QUIET_MAX_STEAL", "0.5"))
+# clean 8-core full-DAG band at 1.6M pages is 76-114 s (13 campaigns)
+A8_CAP = float(os.environ.get("KGSPARK_QUIET_A8_CAP", "140"))
+B2_CAP = float(os.environ.get("KGSPARK_QUIET_B2_CAP", "420"))
+
+
+def _spin(dur: float, out):
+    t_end = time.time() + dur
+    n = 0
+    while time.time() < t_end:
+        for _ in range(100_000):
+            n += 1
+    out.put(n)
+
+
+def _steal_ticks():
+    v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    return sum(v[:8]), v[7]
+
+
+def probe(nproc: int = 8, dur: float = PROBE_SEC) -> dict:
+    """Pure-CPU delivery probe on ``nproc`` pinned cores (no Spark)."""
+    os.sched_setaffinity(0, range(nproc))
+    try:
+        q = mp.Queue()
+        ps = [mp.Process(target=_spin, args=(dur, q)) for _ in range(nproc)]
+        t0, s0 = _steal_ticks()
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        t1, s1 = _steal_ticks()
+        loops = [q.get() for _ in ps]
+        return {"mloops_per_proc": round(sum(loops) / len(loops) / 1e6 / dur, 2),
+                "steal_pct": round(100 * (s1 - s0) / max(t1 - t0, 1), 2)}
+    finally:
+        os.sched_setaffinity(0, range(os.cpu_count() or 32))
+
+
+def kgjob(pages_dir: str, cpus: int, cap_sec: float) -> dict | None:
+    """One pinned kgjob_once run; None if it blew the cap or failed."""
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+           str(REPO / "tools/kgjob_once.py"), pages_dir, str(cpus), "32"]
+    env = dict(os.environ, KGSPARK_JOB_RUNS="1")
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=cap_sec * 3 + 300, env=env, cwd=str(REPO))
+    except subprocess.TimeoutExpired:
+        return None
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")]
+    if not lines:
+        return None
+    r = json.loads(lines[-1].removeprefix("RESULT "))
+    r["sec"] = r["best"]
+    return r if r["best"] <= cap_sec else dict(r, over_cap=True)
+
+
+def main() -> int:
+    max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
+    pages_dir = sys.argv[2] if len(sys.argv) > 2 else "/dev/shm/kgprof_1600000"
+    n_pages = int(os.environ.get("KGSPARK_QUIET_PAGES", "1600000"))
+    deadline = time.time() + max_hours * 3600
+    while time.time() < deadline:
+        pr = probe()
+        print(f"probe {json.dumps(pr)}", flush=True)
+        if pr["mloops_per_proc"] < MIN_MLOOPS or pr["steal_pct"] > MAX_STEAL:
+            time.sleep(POLL_SEC)
+            continue
+        a1 = kgjob(pages_dir, 8, A8_CAP)
+        if a1 is None or a1.get("over_cap"):
+            print(f"A8#1 {'missing' if a1 is None else a1['best']} — "
+                  "window not real, back to polling", flush=True)
+            time.sleep(POLL_SEC)
+            continue
+        b2 = kgjob(pages_dir, 2, B2_CAP)
+        a2 = kgjob(pages_dir, 8, A8_CAP * 2)  # bracket: record even if slow
+        closing = probe()
+        if b2 is None:
+            print("B2 leg failed/blown — attempt void", flush=True)
+            time.sleep(POLL_SEC)
+            continue
+        tps8 = a1["edges"] / a1["best"]
+        tps2 = b2["edges"] / b2["best"]
+        eff = round((tps8 / tps2) / 4, 3)
+        rec = {
+            "local2": {"pages": n_pages, "edges": b2["edges"], "richness": 3,
+                       "sec": b2["best"], "pages_per_sec": round(n_pages / b2["best"], 1),
+                       "triples_per_sec": round(tps2, 1), "cpus": 2,
+                       "runs_sec": [b2["best"]]},
+            "local8": {"pages": n_pages, "edges": a1["edges"], "richness": 3,
+                       "sec": a1["best"], "pages_per_sec": round(n_pages / a1["best"], 1),
+                       "triples_per_sec": round(tps8, 1), "cpus": 8,
+                       "runs_sec": [a1["best"]] + ([a2["best"]] if a2 else [])},
+            "levels": [2, 8], "pinned": True,
+            "speedup": round(tps8 / tps2, 2), "scaling_efficiency": eff,
+            "pages": n_pages, "richness": 3,
+            "protocol": ("quiet_campaign: polled until the pure-CPU probe "
+                         f"cleared ({pr}), A8-B2-A8 bracket, closing probe "
+                         f"{closing}; A8#2 "
+                         f"{a2['best'] if a2 else 'failed'} s"),
+        }
+        with open(REPO / "BENCH/attempts.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print("CAMPAIGN " + json.dumps(rec), flush=True)
+        return 0
+    print("no quiet window inside the budget", flush=True)
+    return 3
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
