@@ -39,7 +39,7 @@ MIN_MLOOPS = float(os.environ.get("KGSPARK_QUIET_MIN_MLOOPS", "31"))
 MAX_STEAL = float(os.environ.get("KGSPARK_QUIET_MAX_STEAL", "0.5"))
 # clean 8-core full-DAG band at 1.6M pages is 76-114 s (13 campaigns)
 A8_CAP = float(os.environ.get("KGSPARK_QUIET_A8_CAP", "140"))
-B2_CAP = float(os.environ.get("KGSPARK_QUIET_B2_CAP", "420"))
+B2_CAP = float(os.environ.get("KGSPARK_QUIET_B2_CAP", "370"))
 
 
 def _spin(dur: float, out):
@@ -113,8 +113,12 @@ def main() -> int:
         b2 = kgjob(pages_dir, 2, B2_CAP)
         a2 = kgjob(pages_dir, 8, A8_CAP * 2)  # bracket: record even if slow
         closing = probe()
-        if b2 is None:
-            print("B2 leg failed/blown — attempt void", flush=True)
+        if b2 is None or b2.get("over_cap"):
+            # a 2-core leg above the 265-334 s clean band is contamination
+            # proof by itself — pairing it with a clean A8 manufactures a
+            # >1.0 "efficiency" (see attempt 26/29); void, keep polling
+            print(f"B2 {'missing' if b2 is None else b2['best']} — "
+                  "attempt void, back to polling", flush=True)
             time.sleep(POLL_SEC)
             continue
         tps8 = a1["edges"] / a1["best"]
