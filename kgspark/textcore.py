@@ -319,6 +319,13 @@ _LONG_DATE = rf"{_MONTH_NAMES} \d{{1,2}}, \d{{4}}"
 # oracle strips the SAME patterns in SQL (kg_oracle._norm_fact).
 _SLASH_DATE = r"\d{4}/\d{2}/\d{2}"
 _DOT_DATE = r"\d{1,2}\.\d{1,2}\.\d{4}"
+# r4 session-5 breadth: ordinal long ("March 5th, 2024") and day-first
+# textual ("5 March 2024" — the British/European form). ORD cannot collide
+# with LONG (LONG requires the comma directly after the digits); DMY sits
+# BEFORE MONTH_YEAR in the alternations so "5 March 2024" captures whole
+# instead of leaving a "5 " residue around a month-year half-match.
+_ORD_DATE = rf"{_MONTH_NAMES} \d{{1,2}}(?:st|nd|rd|th), \d{{4}}"
+_DMY_DATE = rf"\d{{1,2}} {_MONTH_NAMES} \d{{4}}"
 _MONTH_YEAR = rf"{_MONTH_NAMES} \d{{4}}"
 # bare year -> January 1st (extract_edge_dates.py:81 rule 5, second half:
 # "If only a year is mentioned, use January 1st"). Century-bounded so
@@ -326,8 +333,10 @@ _MONTH_YEAR = rf"{_MONTH_NAMES} \d{{4}}"
 # so a longer digit run ("20240315") can't half-match. LAST in every
 # alternation: a full date must always win over its own year prefix.
 _BARE_YEAR = r"(?:19|20)\d{2}\b"
-_DATE_ALT = rf"(?:{_LONG_DATE}|{_ISO_DATE}|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR})"
-_DATE_ALT_Y = rf"(?:{_LONG_DATE}|{_ISO_DATE}|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR}|{_BARE_YEAR})"
+_DATE_ALT = (rf"(?:{_LONG_DATE}|{_ORD_DATE}|{_DMY_DATE}|{_ISO_DATE}"
+             rf"|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR})")
+_DATE_ALT_Y = (rf"(?:{_LONG_DATE}|{_ORD_DATE}|{_DMY_DATE}|{_ISO_DATE}"
+               rf"|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR}|{_BARE_YEAR})")
 _FROM_TO_RE = re.compile(rf"\bfrom ({_DATE_ALT_Y}) to ({_DATE_ALT_Y})")
 _SINCE_RE = re.compile(rf"\b(?:since|starting) ({_DATE_ALT_Y})")
 # "on <bare year>" stays excluded: "on 2024 units/devices" is common web
@@ -367,6 +376,14 @@ def _parse_date_token(tok: str) -> datetime | None:
         if m:
             return datetime(int(m.group(3)), _MONTHS[m.group(1).lower()],
                             int(m.group(2)))
+        m = re.fullmatch(r"([A-Za-z]+) (\d{1,2})(?:st|nd|rd|th), (\d{4})", tok)
+        if m:  # ordinal long: March 5th, 2024
+            return datetime(int(m.group(3)), _MONTHS[m.group(1).lower()],
+                            int(m.group(2)))
+        m = re.fullmatch(r"(\d{1,2}) ([A-Za-z]+) (\d{4})", tok)
+        if m:  # day-first textual: 5 March 2024
+            return datetime(int(m.group(3)), _MONTHS[m.group(2).lower()],
+                            int(m.group(1)))
         m = re.fullmatch(r"([A-Za-z]+) (\d{4})", tok)
         if m:  # month-year -> first of month (extract_edge_dates rule 5)
             return datetime(int(m.group(2)), _MONTHS[m.group(1).lower()], 1)

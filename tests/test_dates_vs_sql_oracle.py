@@ -150,3 +150,72 @@ def test_relative_phrases_rederived_in_sql(corpus):
         WHERE regexp_matches(line, ' \\d{1,3} (days?|weeks?|months?|years?) ago\\.$')""")
     units = {f.rstrip("s") for f in counts}
     assert units == {"day", "week", "month", "year"}, counts
+
+
+def test_ordinal_and_dmy_forms_rederived_in_sql(spark):
+    """r4 session-5 grammar breadth: ordinal long ("March 5th, 2024") and
+    day-first textual ("5 March 2024"). The default datagen corpus stays
+    WITHOUT these forms on purpose (its byte-identity pins 14 scaling
+    campaigns' edge counts), so this test builds its own corpus and
+    re-derives the dates in DuckDB regexp + make_timestamp — none of
+    textcore's code — exactly like the six-form test above."""
+    import pandas as pd
+
+    months = ["January", "February", "March", "April", "May", "June",
+              "July", "August", "September", "October", "November",
+              "December"]
+    rows = []
+    i = 0
+    for year in (1999, 2007, 2019, 2024):
+        for month in (1, 3, 11, 12):
+            for day in (1, 2, 3, 11, 13, 21, 22, 23, 30):
+                sfx = ("th" if 11 <= day <= 13
+                       else {1: "st", 2: "nd", 3: "rd"}.get(day % 10, "th"))
+                forms = [f"{months[month - 1]} {day}{sfx}, {year}",
+                         f"{day} {months[month - 1]} {year}"]
+                for text_date in forms:
+                    rows.append({
+                        "url": f"https://example.org/d{i}",
+                        "group_id": "gdates",
+                        "warc_ts": pd.Timestamp("2025-02-01"),
+                        "text": ("Alice Cooper works for GlowCo "
+                                 f"since {text_date}."),
+                    })
+                    i += 1
+    pdf = pd.DataFrame(rows)
+    triples = udfs.extract_triples(spark.createDataFrame(pdf)).toPandas()
+    con = duckdb.connect()
+    con.register("pages", pdf)
+    con.register("triples", triples)
+    con.execute("""
+        CREATE VIEW lines AS
+        SELECT url, warc_ts, unnest(string_split(text, chr(10))) AS line
+        FROM pages""")
+    d = "regexp_extract(line, ' since (.*)\\.$', 1)"
+    ord_month = _month_no(f"regexp_extract({d}, '^([A-Za-z]+)', 1)")
+    dmy_month_re = r"'^\d{1,2} ([A-Za-z]+)'"
+    dmy_month = _month_no(f"regexp_extract({d}, {dmy_month_re}, 1)")
+    counts = _check(con, f"""
+        SELECT url, line,
+          CASE
+            WHEN regexp_matches({d}, '^[A-Za-z]+ \\d{{1,2}}(st|nd|rd|th), \\d{{4}}$') THEN
+              make_timestamp(CAST(regexp_extract({d}, '(\\d{{4}})$', 1) AS INT),
+                             {ord_month},
+                             CAST(regexp_extract({d}, ' (\\d{{1,2}})(st|nd|rd|th),', 1) AS INT),
+                             0, 0, 0)
+            WHEN regexp_matches({d}, '^\\d{{1,2}} [A-Za-z]+ \\d{{4}}$') THEN
+              make_timestamp(CAST(regexp_extract({d}, '(\\d{{4}})$', 1) AS INT),
+                             {dmy_month},
+                             CAST(regexp_extract({d}, '^(\\d{{1,2}})', 1) AS INT),
+                             0, 0, 0)
+          END AS want_valid,
+          CAST(NULL AS TIMESTAMP) AS want_invalid,
+          CASE
+            WHEN regexp_matches({d}, '^[A-Za-z]+ \\d{{1,2}}(st|nd|rd|th), \\d{{4}}$')
+              THEN 'ordinal'
+            WHEN regexp_matches({d}, '^\\d{{1,2}} [A-Za-z]+ \\d{{4}}$') THEN 'dmy'
+          END AS form
+        FROM lines
+        WHERE regexp_matches(line, ' works for .* since .*\\.$')""")
+    assert set(counts) == {"ordinal", "dmy"}, counts
+    assert all(n == len(rows) / 2 for n in counts.values()), counts

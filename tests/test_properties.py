@@ -140,7 +140,7 @@ _MONTHS = ["January", "February", "March", "April", "May", "June", "July",
 
 
 def _surface(d, form):
-    """Render a datetime as one of the six absolute surface forms and
+    """Render a datetime as one of the absolute surface forms and
     return (text, expected_parse) — month_year/bare_year snap to the first
     of the month / January 1st (extract_edge_dates rule 5)."""
     if form == "long":
@@ -153,6 +153,12 @@ def _surface(d, form):
         return f"{_MONTHS[d.month - 1]} {d.year}", d.replace(day=1)
     if form == "iso":
         return d.strftime("%Y-%m-%d"), d
+    if form == "ordinal":
+        sfx = ("th" if 11 <= d.day <= 13
+               else {1: "st", 2: "nd", 3: "rd"}.get(d.day % 10, "th"))
+        return f"{_MONTHS[d.month - 1]} {d.day}{sfx}, {d.year}", d
+    if form == "dmy":
+        return f"{d.day} {_MONTHS[d.month - 1]} {d.year}", d
     return str(d.year), d.replace(month=1, day=1)
 
 
@@ -160,7 +166,7 @@ def _surface(d, form):
 @given(st.dates(min_value=datetime(1900, 1, 1).date(),
                 max_value=datetime(2099, 11, 28).date()),
        st.sampled_from(["long", "slash", "dot", "month_year", "iso",
-                        "bare_year"]),
+                        "bare_year", "ordinal", "dmy"]),
        st.sampled_from(["since", "starting", "until", "from_to"]))
 def test_date_surface_forms_round_trip(d, form, trigger):
     # every (surface form x trigger) round-trips through parse_dates to
