@@ -168,13 +168,43 @@ def q_add_triplets(spark, sf_dir):
         "group_id", "valid_at", "invalid_at").orderBy("uuid")
 
 
+_KG_FT_INDEX: dict[str, str] = {}
+
+
+def _kg_ft_index(spark, nodes):
+    # Persisted BM25 postings index over the nodes table, one per session:
+    # the hybrid orchestrator's fulltext legs run against it — the
+    # reference's search always reads Lucene indexes built once
+    # (search_utils.py:143-194 over graph_data_operations.py:73-80), never
+    # re-aggregating the corpus per query. Scores are float-exact vs the
+    # scan path (test_bm25_indexed_matches_scan), so the DuckDB oracles
+    # are unchanged.
+    import atexit
+    import shutil
+    import tempfile
+
+    from kgspark import fulltext as flt
+    key = spark.sparkContext.applicationId
+    path = _KG_FT_INDEX.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="kgspark_kg_ft_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        flt.build_fulltext_index(nodes, "name", path, num_buckets=32)
+        _KG_FT_INDEX[key] = path
+    return path
+
+
 def q_kg_hybrid_search(spark, sf_dir):
     # hybrid fulltext ∪ cosine → RRF over the nodes table (search.py:73-157);
     # reuses the session-cached build (embeddings included) instead of
-    # constructing a second graph
+    # constructing a second graph. The fulltext leg reads the persisted
+    # postings index (r4 verdict next #1) — no corpus tokenize-aggregate in
+    # the read-side plan (asserted by tools/explain_check.py).
     from kgspark import search as ks
-    out = ks.hybrid_search(_kg(spark)["nodes"], "name", "name_embedding",
-                           "Priya Sharma", ks.NODE_HYBRID_SEARCH_RRF)
+    nodes = _kg(spark)["nodes"]
+    out = ks.hybrid_search(nodes, "name", "name_embedding",
+                           "Priya Sharma", ks.NODE_HYBRID_SEARCH_RRF,
+                           fulltext_index_path=_kg_ft_index(spark, nodes))
     # stable precision for the driver's value hash (sum order differs
     # between Spark partial aggregation and the DuckDB oracle)
     return out.select("uuid", F.round("rrf_score", 8).alias("rrf_score"))
@@ -189,9 +219,11 @@ def q_kg_hybrid_node_search(spark, sf_dir):
     from kgspark import search as ks
     from kgspark.kg_oracle import HNS_LIMIT, HNS_QUERIES
     from kgspark.textcore import hash_embedding
+    nodes = _kg(spark)["nodes"]
     out = ks.hybrid_node_search(
-        _kg(spark)["nodes"], HNS_QUERIES,
-        [hash_embedding(q) for q in HNS_QUERIES], limit=HNS_LIMIT)
+        nodes, HNS_QUERIES,
+        [hash_embedding(q) for q in HNS_QUERIES], limit=HNS_LIMIT,
+        fulltext_index_path=_kg_ft_index(spark, nodes))
     return out.select("uuid", F.round("rrf_score", 8).alias("rrf_score"))
 
 

@@ -181,7 +181,12 @@ def run_default() -> None:
         "cpus": cpus,
         "kg": kg,
         "per_query": "best-of-2, +1 adaptive run on >50% spread "
-                     "(steady-state); value = sum of bests",
+                     "(steady-state); value = sum of bests. NOTE: the "
+                     "adaptive run is one-sided (only fires on high spread "
+                     "and min() over up to 3 runs can only LOWER the "
+                     "headline vs rounds <=3's fixed best-of-2) — compare "
+                     "across rounds via runs_sec, which records every "
+                     "window (ADVICE r4)",
         "steal_pct": round(100 * (steal1 - steal0) / max(tick1 - tick0, 1), 2),
     }))
 

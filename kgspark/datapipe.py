@@ -252,7 +252,14 @@ def ann_bruteforce(emb: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
-HYPERPLANE_DDL = "id long, bucket string"
+HYPERPLANE_DDL = "id long, bucket string"  # long-id form (see _hp_ddl)
+
+
+def _hp_ddl(emb: DataFrame, id_col: str) -> str:
+    """hyperplane_buckets output schema — the id keeps its source type
+    (vec_id is long in the embeddings table, but streaming-maintained
+    indexes key vectors by url string)."""
+    return f"id {emb.schema[id_col].dataType.simpleString()}, bucket string"
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
@@ -298,7 +305,8 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 12,
                        for row in signs]
             yield pd.DataFrame({"id": pdf[id_col], "bucket": buckets})
 
-    return _par(emb).select(id_col, emb_col).mapInPandas(run, HYPERPLANE_DDL)
+    return (_par(emb).select(id_col, emb_col)
+            .mapInPandas(run, _hp_ddl(emb, id_col)))
 
 
 def ann_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
@@ -327,7 +335,66 @@ def ann_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
     return ann_bruteforce(sub, query_vec, k, id_col, emb_col)
 
 
-_ANN_PARTS = ("vectors", "deleted")
+_ANN_PARTS = ("vectors", "deleted", "ids")
+
+DEFAULT_ID_BUCKETS = 64
+
+
+def _meta_read(path: str) -> dict:
+    import json as _json
+    from pathlib import Path as _P
+    meta = _P(path) / "_meta.json"
+    return _json.loads(meta.read_text()) if meta.exists() else {}
+
+
+def _meta_merge(path: str, **kv) -> None:
+    import json as _json
+    from pathlib import Path as _P
+    m = _meta_read(path)
+    m.update(kv)
+    (_P(path) / "_meta.json").write_text(_json.dumps(m))
+
+
+def _ids_sidecar(vecs: DataFrame, id_col: str, id_buckets: int) -> DataFrame:
+    """(id, id_bucket) rows mirroring one generation's vectors 1:1 — the
+    id-hash-partitioned sidecar that lets update-time collision detection
+    prune to the delta ids' buckets instead of scanning every vector row
+    (the vectors themselves partition by bucket/cluster, which is
+    uncorrelated with id)."""
+    from kgspark.fulltext import _id_bucket_col
+    return (vecs.select(F.col(id_col).alias("id"))
+            .withColumn("id_bucket",
+                        _id_bucket_col(F.col("id"), id_buckets)))
+
+
+def _ann_live_id_rows(spark, path: str, committed: int, id_col: str,
+                      delta_buckets: list[int] | None) -> DataFrame:
+    """(id_col, gen) of live index entries for collision detection. Reads
+    the id-bucketed ids/ sidecar pruned to ``delta_buckets`` when the index
+    has one (every index built by this code does); falls back to a
+    column-pruned scan of vectors/ for pre-sidecar indexes."""
+    from kgspark import segments
+    if segments.has_gens(path + "/ids"):
+        rows = (spark.read.parquet(path + "/ids")
+                .filter(F.col("gen") <= committed))
+        if delta_buckets is not None:
+            rows = rows.filter(F.col("id_bucket").isin(delta_buckets))
+        rows = rows.select(F.col("id").alias(id_col), "gen")
+    else:  # pre-sidecar layout: no pruning possible
+        rows = (spark.read.parquet(path + "/vectors")
+                .filter(F.col("gen") <= committed).select(id_col, "gen"))
+    return _ann_live(spark, path, committed, rows, id_col)
+
+
+def _delta_id_buckets(emb: DataFrame, id_col: str,
+                      id_buckets: int) -> list[int]:
+    """Distinct id_bucket values of a delta batch (≤id_buckets values; one
+    O(delta) job)."""
+    from kgspark.fulltext import _id_bucket_col
+    return sorted({
+        r["b"] for r in
+        emb.select(_id_bucket_col(F.col(id_col), id_buckets).alias("b"))
+        .distinct().collect()})
 
 
 def _bucketed_vectors(emb: DataFrame, n_planes: int, id_col: str,
@@ -369,17 +436,18 @@ def build_ann_index(emb: DataFrame, path: str, n_planes: int = 12,
     over the whole table per query (the r1 weakness). At 10^12 scale this
     is the difference between a full scan and touching a handful of
     partitions."""
-    import json as _json
     import shutil
     shutil.rmtree(path, ignore_errors=True)
+    from kgspark import segments
     _ann_write_gen(_bucketed_vectors(emb, n_planes, id_col, emb_col),
                    path + "/vectors", 0, ["bucket"])
-    from pathlib import Path as _P
-    from kgspark import segments
+    _ann_write_gen(_ids_sidecar(emb, id_col, DEFAULT_ID_BUCKETS),
+                   path + "/ids", 0, ["id_bucket"])
     # n_planes is baked into every stored bucket: persist it so updates and
     # queries can't silently mix bucket widths (a mismatched caller value
-    # would probe/append inconsistent buckets and lose vectors)
-    (_P(path) / "_meta.json").write_text(_json.dumps({"n_planes": n_planes}))
+    # would probe/append inconsistent buckets and lose vectors);
+    # id_buckets pins the ids/ sidecar partitioning the same way
+    _meta_merge(path, n_planes=n_planes, id_buckets=DEFAULT_ID_BUCKETS)
     segments.commit_gen(path, 0)
 
 
@@ -404,10 +472,11 @@ def update_ann_index(emb: DataFrame, path: str, n_planes: int | None = None,
     """Fold a delta batch of vectors into an existing ANN index as a new
     committed generation: O(delta) bucketing + append. A delta id already
     in the index REPLACES its old vector (tombstoned, so a re-embedded doc
-    moves buckets correctly). The only corpus-sized touch is one
-    column-pruned (id, gen) scan for collision detection. Crash-safe like
-    update_fulltext_index: marker last, readers see the previous snapshot
-    until commit. Returns the new committed generation."""
+    moves buckets correctly). Collision detection reads the id-bucketed
+    ids/ sidecar PRUNED to the delta ids' buckets — no corpus-sized touch
+    anywhere in the update. Crash-safe like update_fulltext_index: marker
+    last, readers see the previous snapshot until commit. Returns the new
+    committed generation."""
     from kgspark import segments
     spark = emb.sparkSession
     segments.finish_swap(path)
@@ -422,17 +491,18 @@ def update_ann_index(emb: DataFrame, path: str, n_planes: int | None = None,
         raise ValueError(f"update_ann_index: duplicate id {dup[0]!r} "
                          "in delta batch — one row per id per batch")
     n_planes = _ann_check_planes(path, n_planes, "update_ann_index")
+    id_buckets = int(_meta_read(path).get("id_buckets", DEFAULT_ID_BUCKETS))
     new_gen = committed + 1
     delta_ids = emb.select(F.col(id_col).alias("__new_id")).distinct()
-    live_ids = _ann_live(
-        spark, path, committed,
-        (spark.read.parquet(path + "/vectors")
-         .filter(F.col("gen") <= committed).select(id_col, "gen")), id_col)
+    live_ids = _ann_live_id_rows(spark, path, committed, id_col,
+                                 _delta_id_buckets(emb, id_col, id_buckets))
     coll = (live_ids.join(F.broadcast(delta_ids),
                           F.col(id_col) == F.col("__new_id"), "left_semi")
             .select(F.col(id_col).alias("id"), F.col("gen").alias("dead_gen")))
     _ann_write_gen(_bucketed_vectors(emb, n_planes, id_col, emb_col),
                    path + "/vectors", new_gen, ["bucket"])
+    _ann_write_gen(_ids_sidecar(emb, id_col, id_buckets),
+                   path + "/ids", new_gen, ["id_bucket"])
     _ann_write_gen(coll, path + "/deleted", new_gen, [])
     segments.commit_gen(path, new_gen)
     return new_gen
@@ -458,6 +528,9 @@ def compact_ann_index(spark, path: str, id_col: str = "vec_id",
                      (spark.read.parquet(path + "/vectors")
                       .filter(F.col("gen") <= committed)), id_col).drop("gen")
     _ann_write_gen(live, staging + "/vectors", 0, [part_col])
+    id_buckets = int(_meta_read(path).get("id_buckets", DEFAULT_ID_BUCKETS))
+    _ann_write_gen(_ids_sidecar(live, id_col, id_buckets),
+                   staging + "/ids", 0, ["id_bucket"])
     for side in ("_centroids.json", "_meta.json"):
         f = _P(path) / side
         if f.exists():
@@ -600,6 +673,9 @@ def build_ivf_index(emb: DataFrame, path: str, n_clusters: int = 16,
     _ann_write_gen(
         _assign_clusters(emb.select(id_col, emb_col), cents, id_col, emb_col),
         path + "/vectors", 0, ["cluster"])
+    _ann_write_gen(_ids_sidecar(emb, id_col, DEFAULT_ID_BUCKETS),
+                   path + "/ids", 0, ["id_bucket"])
+    _meta_merge(path, id_buckets=DEFAULT_ID_BUCKETS)
     with open(path + "/_centroids.json", "w") as f:
         _json.dump(cents, f)
     segments.commit_gen(path, 0)
@@ -610,9 +686,11 @@ def update_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
                      emb_col: str = "embedding") -> int:
     """Fold a delta batch into an existing IVF index: assign against the
     FROZEN centroids (the standard IVF add path — FAISS adds to a trained
-    quantizer without retraining; re-train by rebuilding when drift
-    accumulates) and append as a new committed generation; re-embedded ids
-    tombstone their old generation. Returns the new generation."""
+    quantizer without retraining) and append as a new committed
+    generation; re-embedded ids tombstone their old generation. Watch
+    ``ivf_drift_metrics`` and run ``retrain_ivf_index`` when a
+    distribution-shifted delta degrades the quantizer fit. Returns the
+    new generation."""
     import json as _json
     from kgspark import segments
     spark = emb.sparkSession
@@ -629,18 +707,19 @@ def update_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
                          "in delta batch — one row per id per batch")
     with open(path + "/_centroids.json") as f:
         cents = _json.load(f)
+    id_buckets = int(_meta_read(path).get("id_buckets", DEFAULT_ID_BUCKETS))
     new_gen = committed + 1
     delta_ids = emb.select(F.col(id_col).alias("__new_id")).distinct()
-    live_ids = _ann_live(
-        spark, path, committed,
-        (spark.read.parquet(path + "/vectors")
-         .filter(F.col("gen") <= committed).select(id_col, "gen")), id_col)
+    live_ids = _ann_live_id_rows(spark, path, committed, id_col,
+                                 _delta_id_buckets(emb, id_col, id_buckets))
     coll = (live_ids.join(F.broadcast(delta_ids),
                           F.col(id_col) == F.col("__new_id"), "left_semi")
             .select(F.col(id_col).alias("id"), F.col("gen").alias("dead_gen")))
     _ann_write_gen(
         _assign_clusters(emb.select(id_col, emb_col), cents, id_col, emb_col),
         path + "/vectors", new_gen, ["cluster"])
+    _ann_write_gen(_ids_sidecar(emb, id_col, id_buckets),
+                   path + "/ids", new_gen, ["id_bucket"])
     _ann_write_gen(coll, path + "/deleted", new_gen, [])
     segments.commit_gen(path, new_gen)
     return new_gen
@@ -669,6 +748,83 @@ def ann_ivf_indexed(spark, path: str, query_vec: list[float], k: int = 10,
            .filter(F.col("cluster").isin(probe)))
     idx = _ann_live(spark, path, committed, idx, id_col)
     return ann_bruteforce(idx, query_vec, k, id_col, emb_col)
+
+
+def ivf_drift_metrics(spark, path: str, emb_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Quantizer-drift detector for a persisted IVF index (r4 verdict: the
+    frozen-centroid add path has no drift detection): per GENERATION, the
+    count and mean cosine similarity of live vectors to their assigned
+    centroid. A healthy index keeps later generations' mean_centroid_sim
+    near the build generation's; a distribution-shifted delta shows up as
+    a visibly lower value for its generation — the trigger for
+    ``retrain_ivf_index``. One column-pruned scan of vectors/, one k×d
+    centroid broadcast, one k-row aggregate."""
+    import json as _json
+    from kgspark import segments
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed IVF index at {path}")
+    with open(path + "/_centroids.json") as f:
+        cents = _json.load(f)
+    rows = _ann_live(
+        spark, path, committed,
+        (spark.read.parquet(path + "/vectors")
+         .filter(F.col("gen") <= committed)), id_col)
+    carr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        for c in cents])
+    sim = _cos_expr(F.col(emb_col).cast("array<double>"),
+                    F.element_at(carr, F.col("cluster") + 1))
+    return (rows.withColumn("sim", sim)
+            .groupBy("gen")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.avg("sim").alias("mean_centroid_sim"))
+            .orderBy("gen"))
+
+
+def retrain_ivf_index(spark, path: str, n_clusters: int = 16,
+                      iters: int = 2, id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> list[list[float]]:
+    """Re-train the coarse quantizer over the index's LIVE vectors and swap
+    the re-clustered index in under the segments compaction journal
+    (interrupt anywhere and the next writer's ``finish_swap`` completes
+    it). This is the recovery path for quantizer drift after
+    distribution-shifted deltas accumulated through the frozen-centroid
+    ``update_ivf_index`` add path — the batch analog of FAISS re-training
+    an IVF quantizer. Also compacts: tombstones purge, generations
+    collapse to a fresh gen 0. Returns the new centroids."""
+    import json as _json
+    import shutil
+    from pathlib import Path as _P
+
+    from kgspark import segments
+    segments.finish_swap(path)
+    committed = segments.committed_gen(path)
+    if committed is None:
+        raise ValueError(f"no committed IVF index at {path}")
+    segments.clean_uncommitted(path, _ANN_PARTS)
+    staging = path + ".compact.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    live = _ann_live(
+        spark, path, committed,
+        (spark.read.parquet(path + "/vectors")
+         .filter(F.col("gen") <= committed)), id_col) \
+        .select(id_col, emb_col).localCheckpoint()  # feeds iters+2 passes
+    cents = ivf_centroids(live, n_clusters, iters, id_col, emb_col)
+    _ann_write_gen(_assign_clusters(live, cents, id_col, emb_col),
+                   staging + "/vectors", 0, ["cluster"])
+    id_buckets = int(_meta_read(path).get("id_buckets", DEFAULT_ID_BUCKETS))
+    _ann_write_gen(_ids_sidecar(live, id_col, id_buckets),
+                   staging + "/ids", 0, ["id_bucket"])
+    meta = _P(path) / "_meta.json"
+    if meta.exists():
+        shutil.copy(meta, _P(staging) / "_meta.json")
+    with open(staging + "/_centroids.json", "w") as f:
+        _json.dump([list(map(float, c)) for c in cents], f)
+    segments.commit_gen(staging, 0)
+    segments.compact_swap(path, staging)
+    return [list(map(float, c)) for c in cents]
 
 
 def embedding_neardups(emb: DataFrame, threshold: float = 0.95,

@@ -31,6 +31,7 @@ MAX_SEARCH_DEPTH = 3      # search_utils.py:52
 # ---------------------------------------------------------------------------
 
 from kgspark.fulltext import (  # noqa: E402  (re-exported operator surface)
+    bm25_query_indexed,
     bm25_search,
     cross_encoder_rerank,
     fulltext_terms,
@@ -308,14 +309,29 @@ def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
                   config: SearchConfig = EDGE_HYBRID_SEARCH_RRF,
                   mentions: DataFrame | None = None,
                   edges: DataFrame | None = None,
-                  group_ids: list[str] | None = None) -> DataFrame:
+                  group_ids: list[str] | None = None,
+                  fulltext_index_path: str | None = None) -> DataFrame:
     """bm25 ∪ cosine → dedup-by-uuid → reranker (search.py:189-238 shape).
+
+    ``fulltext_index_path``: route the fulltext leg through the PERSISTED
+    BM25 postings index (``fulltext.bm25_query_indexed`` — scans only the
+    query terms' ≤32 term-bucket partitions) instead of the scan-path
+    ``bm25_search`` that re-aggregates the corpus per query. This is the
+    reference's actual read-side shape — its search always runs against
+    Lucene indexes built once (search_utils.py:143-194 over indexes from
+    graph_data_operations.py:73-80). The caller owns index freshness: the
+    index must cover exactly ``df[text_col]`` (same id space), maintained
+    via ``update_fulltext_index``. Scores are float-exact vs the scan path
+    (test_bm25_indexed_matches_scan), so results are identical.
 
     Scores are rounded to 9 decimals before rank assignment so rankings are
     reproducible across engines (float sum order differs between Spark
     partial aggregation and single-process oracles)."""
     qv = search_text_query(query)
-    if config.fulltext_method == "bm25":
+    if fulltext_index_path is not None:
+        ft = bm25_query_indexed(df.sparkSession, fulltext_index_path, query,
+                                config.limit * 2, group_ids)
+    elif config.fulltext_method == "bm25":
         ft = bm25_search(df, text_col, query, config.limit * 2, group_ids)
     else:
         ft = fulltext_search(df, text_col, query, config.limit * 2, group_ids)
@@ -349,7 +365,8 @@ def hybrid_node_search(nodes: DataFrame, queries: list[str],
                        group_ids: list[str] | None = None,
                        limit: int = RELEVANT_SCHEMA_LIMIT,
                        text_col: str = "name",
-                       emb_col: str = "name_embedding") -> DataFrame:
+                       emb_col: str = "name_embedding",
+                       fulltext_index_path: str | None = None) -> DataFrame:
     """Batch hybrid node lookup (hybrid_node_search, search_utils.py:564-631;
     semantics pinned by tests/utils/search/search_utils_test.py:11-170):
     one fulltext search per query PLUS one similarity search per embedding —
@@ -366,9 +383,20 @@ def hybrid_node_search(nodes: DataFrame, queries: list[str],
     batches this API serves (dedup-resolution context lookups, <10 queries).
     Corpus-scale candidate generation goes through the LSH/IVF indexes in
     kgspark/datapipe.py instead.
+
+    ``fulltext_index_path``: run every fulltext leg against the persisted
+    BM25 postings index over the nodes table (same semantics and float-exact
+    scores as the default scan path — see hybrid_search); each per-query leg
+    then touches only its terms' postings partitions instead of
+    re-aggregating the node corpus per query.
     """
-    ranked = [bm25_search(nodes, text_col, q, 2 * limit, group_ids)
-              for q in queries]
+    if fulltext_index_path is not None:
+        ranked = [bm25_query_indexed(nodes.sparkSession, fulltext_index_path,
+                                     q, 2 * limit, group_ids)
+                  for q in queries]
+    else:
+        ranked = [bm25_search(nodes, text_col, q, 2 * limit, group_ids)
+                  for q in queries]
     ranked += [similarity_search(nodes, emb_col, e, 2 * limit,
                                  group_ids=group_ids)
                for e in (embeddings or [])]

@@ -27,6 +27,13 @@ snapshot), removed by the next writer via ``clean_uncommitted``. Readers
 need no recovery path at all. Tombstone accumulation is bounded by
 compaction (see the per-index ``compact_*`` functions), which rewrites the
 live rows as a fresh gen-0 index and swaps it in under a journal marker.
+
+Object-store portability: marker-last commits and clean_uncommitted work
+unchanged on S3-class stores (atomic object PUT + strong list-after-write);
+ONLY the compaction swap assumes POSIX rename — on an object store it
+becomes a manifest-pointer flip with identical journal semantics (the
+Iceberg snapshot-pointer model; full adaptation notes in README.md
+"Index layer on object stores").
 """
 
 from __future__ import annotations

@@ -39,7 +39,10 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
 def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
                        checkpoint_dir: str | None = None,
                        max_files_per_trigger: int = 4,
-                       fulltext_index_dir: str | None = None):
+                       fulltext_index_dir: str | None = None,
+                       ann_index_dir: str | None = None,
+                       ivf_index_dir: str | None = None,
+                       ivf_clusters: int = 16):
     """Start (availableNow) a stream that incrementally maintains the graph
     tables under ``base``. Returns the StreamingQuery; callers
     ``awaitTermination`` it.
@@ -58,9 +61,23 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
     so the index's live doc per url always equals the page the graph
     recompute chose, and a foreachBatch REPLAY after a failure re-lands the
     same rows (the replayed generation tombstones its own previous copy —
-    convergent, not duplicating)."""
+    convergent, not duplicating).
+
+    ``ann_index_dir`` / ``ivf_index_dir``: the same per-micro-batch
+    maintenance for the VECTOR indexes (r4 verdict next #4) — each batch's
+    current-crawl pages are embedded (the deterministic page-text
+    embedding, ``udfs.embed_expr``) and fold in as one committed
+    generation via ``datapipe.update_ann_index`` / ``update_ivf_index``;
+    re-crawled urls tombstone their old vector (which may change bucket /
+    cluster — only tombstoning handles that). The first non-empty batch
+    builds the index (for IVF that also trains the ``ivf_clusters``
+    centroids on that batch; later batches take the frozen-centroid FAISS
+    add path — run ``datapipe.retrain_ivf_index`` when drift accumulates,
+    see ``ivf_drift_metrics``). Same replay-convergence story as the BM25
+    index."""
     bronze = str(Path(base) / "_bronze_pages")
     checkpoint_dir = checkpoint_dir or str(Path(base) / "_stream_checkpoint")
+    any_index = fulltext_index_dir or ann_index_dir or ivf_index_dir
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # pin the micro-batch: it feeds three actions (emptiness probe,
@@ -74,7 +91,7 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
         dirty = [r["group_id"] for r in
                  batch_df.select("group_id").distinct().collect()]
         batch_urls = (batch_df.select("url").distinct()
-                      .localCheckpoint()) if fulltext_index_dir else None
+                      .localCheckpoint()) if any_index else None
         batch_df.unpersist()
         # invalidate lineage for dirty groups -> run_resumable recomputes them
         for g in dirty:
@@ -92,17 +109,40 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
                      .withColumn("__rn", F.row_number().over(w))
                      .filter(F.col("__rn") == 1).drop("__rn"))
         kio.run_resumable(spark, all_pages, base, compute_embeddings=False)
-        if fulltext_index_dir:
+        if any_index:
+            from kgspark import datapipe as dp
             from kgspark import fulltext, segments
-            delta = all_pages.join(batch_urls, "url", "left_semi")
-            if segments.committed_gen(fulltext_index_dir) is None:
-                fulltext.build_fulltext_index(delta, "text",
-                                              fulltext_index_dir,
-                                              id_col="url")
-            else:
-                fulltext.update_fulltext_index(delta, "text",
-                                               fulltext_index_dir,
-                                               id_col="url")
+            # each batch url's CURRENT latest-crawl row; pinned — it feeds
+            # one action per maintained index
+            delta = (all_pages.join(batch_urls, "url", "left_semi")
+                     .localCheckpoint())
+            if fulltext_index_dir:
+                if segments.committed_gen(fulltext_index_dir) is None:
+                    fulltext.build_fulltext_index(delta, "text",
+                                                  fulltext_index_dir,
+                                                  id_col="url")
+                else:
+                    fulltext.update_fulltext_index(delta, "text",
+                                                   fulltext_index_dir,
+                                                   id_col="url")
+            if ann_index_dir or ivf_index_dir:
+                vecs = delta.select(
+                    "url", udfs.embed_expr()(F.col("text")).alias("embedding"))
+                if ann_index_dir:
+                    if segments.committed_gen(ann_index_dir) is None:
+                        dp.build_ann_index(vecs, ann_index_dir, id_col="url",
+                                           emb_col="embedding")
+                    else:
+                        dp.update_ann_index(vecs, ann_index_dir, id_col="url",
+                                            emb_col="embedding")
+                if ivf_index_dir:
+                    if segments.committed_gen(ivf_index_dir) is None:
+                        dp.build_ivf_index(vecs, ivf_index_dir,
+                                           n_clusters=ivf_clusters,
+                                           id_col="url", emb_col="embedding")
+                    else:
+                        dp.update_ivf_index(vecs, ivf_index_dir, id_col="url",
+                                            emb_col="embedding")
 
     return (read_pages_stream(spark, input_dir, max_files_per_trigger)
             .writeStream

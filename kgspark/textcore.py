@@ -324,6 +324,11 @@ _DOT_DATE = r"\d{1,2}\.\d{1,2}\.\d{4}"
 # with LONG (LONG requires the comma directly after the digits); DMY sits
 # BEFORE MONTH_YEAR in the alternations so "5 March 2024" captures whole
 # instead of leaving a "5 " residue around a month-year half-match.
+# Any ordinal suffix is accepted on any day ("March 21th" parses too):
+# intentional leniency — real web text misuses suffixes, Graphiti's LLM
+# extractor reads such dates anyway, and the DuckDB oracle shares this
+# exact pattern so parity is unaffected (ADVICE r4: documented as
+# deliberate rather than tightened to day-appropriate suffixes).
 _ORD_DATE = rf"{_MONTH_NAMES} \d{{1,2}}(?:st|nd|rd|th), \d{{4}}"
 _DMY_DATE = rf"\d{{1,2}} {_MONTH_NAMES} \d{{4}}"
 _MONTH_YEAR = rf"{_MONTH_NAMES} \d{{4}}"

@@ -425,7 +425,7 @@ def test_ann_index_bucket_column_stays_string(spark, emb, tmp_path):
     path = str(tmp_path / "annidx17")
     rest = emb.filter("vec_id <> 0")
     dp.build_ann_index(rest, path, n_planes=17)
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(path + "/vectors")
     assert dict(idx.dtypes)["bucket"] == "string"
     qv = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
     exact = [r["id"] for r in dp.ann_bruteforce(rest, list(qv), 5).collect()]

@@ -93,3 +93,44 @@ def test_hybrid_node_search_with_limit_and_duplicates(spark):
                              group_ids=["1"], limit=2).collect()
     assert len(got) == 3
     assert {r["name"] for r in got} == {"Alice Test", "Bob Test", "Charlie"}
+
+
+def _parity_nodes(spark):
+    qvec = hash_embedding("simquery")
+    return _nodes(spark, [
+        ("1", "Test Alpha", "g1", hash_embedding("Test Alpha")),
+        ("2", "Test Beta", "g1", hash_embedding("Test Beta")),
+        ("3", "Test Gamma", "g2", hash_embedding("Test Gamma")),
+        ("4", "Delta Test", "g2", qvec),
+        ("5", "Epsilon", "g1", qvec),
+        ("6", "Zeta Alpha", "g2", qvec),
+    ])
+
+
+def test_hybrid_search_indexed_fulltext_parity(spark, tmp_path):
+    """r4 verdict next #1: the orchestrator routed through the persisted
+    BM25 postings index returns EXACTLY the scan-path results (scores are
+    float-exact — test_bm25_indexed_matches_scan — so ranks and RRF fusion
+    are identical)."""
+    from kgspark import fulltext, search as ks
+    nodes = _parity_nodes(spark)
+    idx = str(tmp_path / "ftidx")
+    fulltext.build_fulltext_index(nodes, "name", idx, num_buckets=8)
+    for q in ("Test Alpha", "epsilon", "alpha beta gamma"):
+        scan = ks.hybrid_search(nodes, "name", "name_embedding", q).collect()
+        indexed = ks.hybrid_search(nodes, "name", "name_embedding", q,
+                                   fulltext_index_path=idx).collect()
+        assert indexed == scan, q
+
+
+def test_hybrid_node_search_indexed_fulltext_parity(spark, tmp_path):
+    from kgspark import fulltext
+    nodes = _parity_nodes(spark)
+    idx = str(tmp_path / "ftidx2")
+    fulltext.build_fulltext_index(nodes, "name", idx, num_buckets=8)
+    queries = ["Test", "Alpha Zeta"]
+    embs = [hash_embedding("simquery")]
+    scan = hybrid_node_search(nodes, queries, embs, limit=2).collect()
+    indexed = hybrid_node_search(nodes, queries, embs, limit=2,
+                                 fulltext_index_path=idx).collect()
+    assert indexed == scan

@@ -216,6 +216,72 @@ def test_ivf_update_matches_fresh_assignment(spark, tmp_path):
     assert got == want
 
 
+def _axis_emb_df(spark, specs):
+    """Deterministic vectors near given axis directions: specs is a list of
+    (vec_id, direction array). Small seeded noise decides ties."""
+    import numpy as np
+    rows = []
+    for i, d in specs:
+        rng = np.random.RandomState(i)
+        v = np.asarray(d, dtype=np.float64) + rng.randn(len(d)) * 0.05
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+
+def test_ivf_drift_metrics_and_retrain_recovers_recall(spark, tmp_path):
+    # r4 verdict next #5: the frozen-centroid add path accumulates
+    # quantizer drift. Scenario: the build corpus clusters on 4 axes; the
+    # delta is a blob straddling the boundary between two of the original
+    # cells, so its vectors split across cells and a small-nprobe query
+    # into the blob misses the half in the unprobed cell. Drift is visible
+    # in ivf_drift_metrics (delta gen fits worse); retrain_ivf_index
+    # re-clusters the live rows (journaled swap) and recall recovers.
+    import numpy as np
+    path = str(tmp_path / "ivfdr")
+    dim = 8
+    axes = np.eye(dim)
+    build = [(i, axes[i % 4]) for i in range(1, 41)]
+    blob_dir = (axes[0] + axes[1]) / np.linalg.norm(axes[0] + axes[1])
+    delta = [(i, blob_dir) for i in range(200, 230)]
+    dp.build_ivf_index(_axis_emb_df(spark, build), path,
+                       n_clusters=4, iters=2)
+    dp.update_ivf_index(_axis_emb_df(spark, delta), path)
+    m = {r["gen"]: r for r in dp.ivf_drift_metrics(spark, path).collect()}
+    assert set(m) == {0, 1} and m[1]["n_vectors"] == 30
+    assert m[1]["mean_centroid_sim"] < m[0]["mean_centroid_sim"] - 0.05
+    logical = _axis_emb_df(spark, build + delta)
+    qv = [float(x) for x in blob_dir]
+    want = {r["id"] for r in dp.ann_bruteforce(logical, qv, 20).collect()}
+    got_before = {r["id"] for r in
+                  dp.ann_ivf_indexed(spark, path, qv, k=20,
+                                     nprobe=1).collect()}
+    recall_before = len(got_before & want) / len(want)
+    assert recall_before < 0.999  # the blob straddles two cells
+    cents = dp.retrain_ivf_index(spark, path, n_clusters=4, iters=3)
+    assert len(cents) == 4
+    # correctness invariant: full probe still equals brute force
+    full = [r["id"] for r in
+            dp.ann_ivf_indexed(spark, path, qv, k=20, nprobe=4).collect()]
+    assert full == [r["id"] for r in
+                    dp.ann_bruteforce(logical, qv, 20).collect()]
+    got_after = {r["id"] for r in
+                 dp.ann_ivf_indexed(spark, path, qv, k=20,
+                                    nprobe=1).collect()}
+    recall_after = len(got_after & want) / len(want)
+    assert recall_after > recall_before
+    assert recall_after >= 0.95  # the blob owns a cell again
+    # retrained fit beats the drifted one, and the swap compacted the index
+    m2 = dp.ivf_drift_metrics(spark, path).collect()
+    assert [r["gen"] for r in m2] == [0]
+    assert m2[0]["mean_centroid_sim"] > (
+        (m[0]["mean_centroid_sim"] * 40 + m[1]["mean_centroid_sim"] * 30)
+        / 70) - 1e-9
+    # the retrained index keeps accepting updates
+    assert dp.update_ivf_index(_axis_emb_df(spark, [(500, axes[2])]),
+                               path) == 1
+
+
 def test_ann_index_pins_n_planes(spark, tmp_path):
     # n_planes is baked into every stored bucket; the index remembers it so
     # an update or query with a mismatched value fails loudly instead of
@@ -251,6 +317,106 @@ def test_fulltext_update_rejects_group_schema_drift(spark, tmp_path):
         fulltext.update_fulltext_index(
             _delta_b(spark).withColumn("group_id", F.lit("g1")),
             "fact", path2)
+
+
+def _grouped_corpus(spark, rows):
+    # group assignment derived from the id so build/delta/oracle agree
+    return (_docs_df(spark, rows)
+            .withColumn("group_id",
+                        F.concat(F.lit("g"), F.pmod("uuid", F.lit(3)))))
+
+
+def test_bm25_indexed_group_filter_parity(spark, tmp_path):
+    # r4 verdict missing #2: group-filtered indexed BM25 must reproduce
+    # bm25_search(group_ids=...)'s filter-local stats EXACTLY — per-group
+    # (n_docs, total_len) deltas are maintained per generation and summed
+    # at read; 'global' keeps the Lucene-faithful index-global stats
+    path = str(tmp_path / "ftgp")
+    a = _grouped_corpus(spark, [(i, f"alpha doc {i} " + " ".join(
+        ["join"] * (i % 4) + ["shuffle"] * (i % 3))) for i in range(1, 41)])
+    fulltext.build_fulltext_index(a, "fact", path, num_buckets=16)
+    delta = _grouped_corpus(
+        spark, [(i, f"beta doc {i} shuffle scan") for i in range(100, 115)]
+        + [(i, f"recrawled {i} join gamma") for i in range(1, 11)])
+    fulltext.update_fulltext_index(delta, "fact", path)
+    logical = (a.filter(~F.col("uuid").between(1, 10)).unionByName(delta))
+    for gids in (["g0"], ["g1", "g2"], ["g0", "g1", "g2"], ["absent"]):
+        for q in ("join shuffle", "gamma", "beta scan"):
+            scan = {r["uuid"]: r["score"] for r in fulltext.bm25_search(
+                logical, "fact", q, limit=100, group_ids=gids).collect()}
+            idx = {r["uuid"]: r["score"] for r in fulltext.bm25_query_indexed(
+                spark, path, q, limit=100, group_ids=gids).collect()}
+            assert set(idx) == set(scan), (gids, q)
+            for k in scan:
+                assert idx[k] == pytest.approx(scan[k], abs=1e-12), (gids, q)
+    # group-filter parity survives compaction (deltas consolidated)
+    fulltext.compact_fulltext_index(spark, path)
+    scan = {r["uuid"]: r["score"] for r in fulltext.bm25_search(
+        logical, "fact", "join shuffle", limit=100,
+        group_ids=["g1"]).collect()}
+    idx = {r["uuid"]: r["score"] for r in fulltext.bm25_query_indexed(
+        spark, path, "join shuffle", limit=100, group_ids=["g1"]).collect()}
+    assert set(idx) == set(scan)
+    for k in scan:
+        assert idx[k] == pytest.approx(scan[k], abs=1e-12)
+    # 'global' scope: same candidates, index-global stats (Lucene behavior)
+    glob = fulltext.bm25_query_indexed(spark, path, "join shuffle", limit=100,
+                                       group_ids=["g1"],
+                                       stats_scope="global").collect()
+    assert {r["uuid"] for r in glob} == set(scan)
+    with pytest.raises(ValueError, match="'local' or 'global'"):
+        fulltext.bm25_query_indexed(spark, path, "x", stats_scope="bogus")
+
+
+def test_bm25_indexed_group_local_needs_grouped_index(spark, tmp_path):
+    path = str(tmp_path / "ftng")
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", path,
+                                  num_buckets=8)
+    with pytest.raises(ValueError, match="no per-group stats"):
+        fulltext.bm25_query_indexed(spark, path, "alpha", group_ids=["g0"])
+    # explicit global scope works on ungrouped... a group filter over an
+    # ungrouped index can never match, but must not raise at plan time
+    got = fulltext.bm25_query_indexed(spark, path, "alpha",
+                                      stats_scope="global")
+    assert got.count() > 0
+
+
+def test_fulltext_update_collision_scan_prunes_docs(spark, tmp_path):
+    # r4 verdict missing #3: docs/ is id-bucketed so the update-time
+    # collision scan prunes to the delta ids' buckets — assert the
+    # partition filter reaches the parquet scan, and that pruned results
+    # equal the unpruned live-docs view restricted to those buckets
+    path = str(tmp_path / "ftpr")
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", path,
+                                  num_buckets=16)
+    fulltext.update_fulltext_index(_delta_b(spark), "fact", path)
+    committed = segments.committed_gen(path)
+    bks = [fulltext.term_bucket(str(i), 16) for i in (1, 2, 3)]
+    pruned = fulltext._live_docs(spark, path, committed, sorted(set(bks)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "id_bucket" in plan
+    full = fulltext._live_docs(spark, path, committed)
+    want = {r["id"] for r in full.collect()
+            if fulltext.term_bucket(str(r["id"]), 16) in set(bks)}
+    assert {r["id"] for r in pruned.collect()} == want
+
+
+def test_ann_update_collision_scan_prunes_ids(spark, tmp_path):
+    # same pruning contract for the vector indexes: collision detection
+    # reads the ids/ sidecar pruned to the delta's id buckets
+    path = str(tmp_path / "annpr")
+    dp.build_ann_index(_emb_df(spark, range(1, 50)), path, n_planes=8)
+    delta = _emb_df(spark, [1, 2, 100], shift=0.3)
+    live = dp._ann_live_id_rows(
+        spark, path, 0, "vec_id",
+        dp._delta_id_buckets(delta, "vec_id", dp.DEFAULT_ID_BUCKETS))
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "id_bucket" in plan
+    # correctness of the full update cycle is pinned by
+    # test_ann_update_matches_fresh_build; here pin that the pruned view
+    # still sees the colliding ids
+    got = {r["vec_id"] for r in live.collect()}
+    assert {1, 2} <= got
 
 
 def test_fulltext_compact_crash_midswap_recovers(spark, tmp_path):

@@ -178,3 +178,55 @@ def test_incremental_ingest_maintains_fulltext_index(spark, tmp_path):
                                fulltext.bm25_query_indexed(
                                    spark, idx, "updated recrawl content",
                                    limit=200, id_col="url").collect()}
+
+
+def test_incremental_ingest_maintains_vector_indexes(spark, tmp_path):
+    # ann_index_dir / ivf_index_dir keep the persisted vector indexes fresh
+    # per micro-batch (r4 verdict next #4), mirroring the BM25 wiring: one
+    # committed generation per batch, re-crawled urls tombstone their old
+    # vector (which may move bucket/cluster). Convergence: full-probe
+    # queries over the stream-maintained indexes equal exact brute force
+    # over the latest-crawl corpus embedded with the same embedder.
+    import pandas as pd
+
+    from kgspark import datapipe as dp
+    from kgspark import segments, udfs
+
+    pdf = pages_pandas(40)
+    inp = tmp_path / "inc_vec"
+    inp.mkdir()
+    rec = pdf.iloc[:4].copy()
+    rec["warc_ts"] = rec["warc_ts"] + pd.Timedelta(days=30)
+    rec["text"] = "completely different recrawl payload " + rec["url"]
+    for b, part in enumerate((pdf.iloc[:20], pdf.iloc[20:], rec)):
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite") \
+            .parquet(str(inp / f"batch_{b}"))
+    base = str(tmp_path / "graph_vec")
+    ann = str(tmp_path / "ann_stream")
+    ivf = str(tmp_path / "ivf_stream")
+    q = streaming.incremental_ingest(spark, str(inp) + "/*", base,
+                                     max_files_per_trigger=1,
+                                     ann_index_dir=ann, ivf_index_dir=ivf,
+                                     ivf_clusters=4)
+    q.awaitTermination(300)
+    # grew incrementally: one committed generation per non-initial batch
+    assert segments.committed_gen(ann) >= 1
+    assert segments.committed_gen(ivf) >= 1
+    final = pd.concat([pdf[~pdf["url"].isin(rec["url"])], rec])
+    corpus = spark.createDataFrame(final).select(
+        "url", udfs.embed_expr()(F.col("text")).alias("embedding"))
+    qv = [float(x) for x in
+          corpus.orderBy("url").first()["embedding"]]
+    want = [r["id"] for r in
+            dp.ann_bruteforce(corpus, qv, k=8, id_col="url",
+                              emb_col="embedding").collect()]
+    got_ann = [r["id"] for r in
+               dp.ann_query_indexed(spark, ann, qv, k=8,
+                                    probe_hamming=12, id_col="url",
+                                    emb_col="embedding").collect()]
+    assert got_ann == want
+    got_ivf = [r["id"] for r in
+               dp.ann_ivf_indexed(spark, ivf, qv, k=8, nprobe=4,
+                                  id_col="url",
+                                  emb_col="embedding").collect()]
+    assert got_ivf == want

@@ -101,6 +101,31 @@ def main() -> None:
     check("bm25_indexed partition pruning",
           "PartitionFilters: [term_bucket" in p or "term_bucket#" in p, p)
 
+    # 9. hybrid orchestrator with a persisted fulltext index (r5): the
+    # fulltext leg prunes to the query's term buckets and the read-side
+    # plan contains NO corpus tokenize-aggregate — the scan path's
+    # explode(split(lower(text))) must be gone entirely
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from kgspark import fulltext as _flt
+    from kgspark import search as _ks
+    hnodes = out["nodes"].withColumn(
+        "name_embedding",
+        F.array(*[F.lit(0.1)] * 8).cast("array<double>"))
+    ftdir = _tmp.mkdtemp(prefix="kgspark_explain_ft_")
+    try:
+        _flt.build_fulltext_index(out["nodes"], "name", ftdir, num_buckets=16)
+        h = _ks.hybrid_search(hnodes, "name", "name_embedding",
+                              "priya sharma", fulltext_index_path=ftdir)
+        p = plan_of(h)
+        check("hybrid indexed fulltext leg prunes term buckets",
+              "PartitionFilters: [term_bucket" in p or "term_bucket#" in p, p)
+        check("hybrid indexed plan has no corpus tokenize (no explode)",
+              "explode" not in p.lower(), p)
+    finally:
+        _sh.rmtree(ftdir, ignore_errors=True)
+
     print("FAILURES:", failures or "none")
     sys.exit(1 if failures else 0)
 

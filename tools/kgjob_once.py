@@ -29,6 +29,9 @@ def main() -> None:
     spark = get_spark("kgjob-once", cpus=cpus, shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_dir)
+    n_pages = pages.count()  # parquet metadata count — cheap, and lets
+    # downstream tooling record pages/sec from the job itself instead of
+    # trusting an env default (ADVICE r4)
     # warmup
     wp = pages.limit(2000).localCheckpoint()
     build_graph(wp, check_text=False, compute_embeddings=False)["edges"].count()
@@ -50,7 +53,8 @@ def main() -> None:
         runs.append(round(t1 - t0, 2))
         windows.append([int(t0 * 1000), int(t1 * 1000)])
     print("RESULT " + json.dumps({"cpus": cpus, "parts": parts, "full": full,
-                                  "edges": n, "runs_sec": runs,
+                                  "edges": n, "pages": n_pages,
+                                  "runs_sec": runs,
                                   "best": min(runs), "windows_ms": windows}))
 
 

@@ -121,6 +121,23 @@ def main() -> int:
                   "attempt void, back to polling", flush=True)
             time.sleep(POLL_SEC)
             continue
+        if a1["edges"] != b2["edges"]:
+            # the two legs must be the SAME computation on the SAME input —
+            # an output divergence is a determinism regression, not an
+            # interference artifact; never blend it into an efficiency
+            # ratio (ADVICE r4)
+            print(f"VOID edges mismatch: local8={a1['edges']} "
+                  f"local2={b2['edges']} — determinism regression, "
+                  "not recording", flush=True)
+            return 4
+        # pages/sec denominates on the corpus the job actually read (the
+        # RESULT's own count), not an env default that can disagree with
+        # a custom pages_dir (ADVICE r4)
+        rec_pages = a1.get("pages", n_pages)
+        if rec_pages != n_pages and "KGSPARK_QUIET_PAGES" in os.environ:
+            print(f"WARN KGSPARK_QUIET_PAGES={n_pages} != corpus rows "
+                  f"{rec_pages}; recording the corpus count", flush=True)
+        n_pages = rec_pages
         tps8 = a1["edges"] / a1["best"]
         tps2 = b2["edges"] / b2["best"]
         eff = round((tps8 / tps2) / 4, 3)
