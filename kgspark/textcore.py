@@ -338,10 +338,23 @@ _MONTH_YEAR = rf"{_MONTH_NAMES} \d{{4}}"
 # so a longer digit run ("20240315") can't half-match. LAST in every
 # alternation: a full date must always win over its own year prefix.
 _BARE_YEAR = r"(?:19|20)\d{2}\b"
+# r5 long-tail (VERDICT r4 next #7 — BEYOND the reference's published
+# rules, so the convention is ours and documented): quarters ("Q2 2024")
+# -> first day of that quarter; "early/mid/late YYYY" -> Jan 1 / Jul 1 /
+# Oct 1 ("first day of the implied period": early keeps the bare-year
+# Jan-1 convention, mid is the year's midpoint boundary, late the Q4
+# boundary). Early/mid/late accept a sentence-initial capital. Both are
+# year-precision forms, so like _BARE_YEAR they join the _Y alternation
+# (since/from/until/in) but never the day-precision "on" trigger. The
+# DuckDB oracle strips the SAME patterns (DATE_STRIP_RES), and
+# tests/test_dates_vs_sql_oracle.py re-derives both forms from raw text.
+_QTR_DATE = r"Q[1-4] (?:19|20)\d{2}\b"
+_EML_YEAR = r"(?:[Ee]arly|[Mm]id|[Ll]ate) (?:19|20)\d{2}\b"
 _DATE_ALT = (rf"(?:{_LONG_DATE}|{_ORD_DATE}|{_DMY_DATE}|{_ISO_DATE}"
              rf"|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR})")
 _DATE_ALT_Y = (rf"(?:{_LONG_DATE}|{_ORD_DATE}|{_DMY_DATE}|{_ISO_DATE}"
-               rf"|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR}|{_BARE_YEAR})")
+               rf"|{_SLASH_DATE}|{_DOT_DATE}|{_MONTH_YEAR}"
+               rf"|{_QTR_DATE}|{_EML_YEAR}|{_BARE_YEAR})")
 _FROM_TO_RE = re.compile(rf"\bfrom ({_DATE_ALT_Y}) to ({_DATE_ALT_Y})")
 _SINCE_RE = re.compile(rf"\b(?:since|starting) ({_DATE_ALT_Y})")
 # "on <bare year>" stays excluded: "on 2024 units/devices" is common web
@@ -349,7 +362,8 @@ _SINCE_RE = re.compile(rf"\b(?:since|starting) ({_DATE_ALT_Y})")
 _ON_RE = re.compile(rf"\bon ({_DATE_ALT})")
 # "in March 2024" / "in 2024" — month-year or bare year only: "in
 # 2024-03-15" is not idiomatic and "in <City>" must never be a date trigger
-_IN_RE = re.compile(rf"\bin ({_MONTH_YEAR}|{_BARE_YEAR})")
+_IN_RE = re.compile(
+    rf"\bin ({_MONTH_YEAR}|{_QTR_DATE}|{_EML_YEAR}|{_BARE_YEAR})")
 _UNTIL_RE = re.compile(rf"\buntil ({_DATE_ALT_Y})")
 _REL_RE = re.compile(
     r"\b(yesterday|last week|last month|last year"
@@ -389,6 +403,15 @@ def _parse_date_token(tok: str) -> datetime | None:
         if m:  # day-first textual: 5 March 2024
             return datetime(int(m.group(3)), _MONTHS[m.group(2).lower()],
                             int(m.group(1)))
+        m = re.fullmatch(r"Q([1-4]) ((?:19|20)\d{2})", tok)
+        if m:  # quarter -> first day of that quarter (Q2 2024 -> Apr 1)
+            return datetime(int(m.group(2)), 3 * (int(m.group(1)) - 1) + 1, 1)
+        m = re.fullmatch(r"([Ee]arly|[Mm]id|[Ll]ate) ((?:19|20)\d{2})", tok)
+        if m:  # early/mid/late YYYY -> Jan 1 / Jul 1 / Oct 1 (see grammar
+            # comment at _EML_YEAR for the convention)
+            return datetime(int(m.group(2)),
+                            {"early": 1, "mid": 7, "late": 10}[
+                                m.group(1).lower()], 1)
         m = re.fullmatch(r"([A-Za-z]+) (\d{4})", tok)
         if m:  # month-year -> first of month (extract_edge_dates rule 5)
             return datetime(int(m.group(2)), _MONTHS[m.group(1).lower()], 1)

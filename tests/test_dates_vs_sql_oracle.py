@@ -219,3 +219,63 @@ def test_ordinal_and_dmy_forms_rederived_in_sql(spark):
         WHERE regexp_matches(line, ' works for .* since .*\\.$')""")
     assert set(counts) == {"ordinal", "dmy"}, counts
     assert all(n == len(rows) / 2 for n in counts.values()), counts
+
+
+def test_quarter_and_eml_forms_rederived_in_sql(spark):
+    """r5 long-tail: quarters ("Q2 2024" -> first day of the quarter) and
+    "early/mid/late YYYY" (-> Jan 1 / Jul 1 / Oct 1). Dedicated corpus
+    (the default datagen corpus stays byte-identical for the pinned
+    scaling campaigns); dates re-derived in DuckDB arithmetic — none of
+    textcore's code — like the ordinal/dmy test above. Every (form x
+    capitalization) variant is asserted non-vacuous."""
+    import pandas as pd
+
+    rows = []
+    i = 0
+    for year in (1999, 2007, 2019, 2024):
+        for text_date in ([f"Q{q} {year}" for q in (1, 2, 3, 4)]
+                          + [f"{lab} {year}"
+                             for lab in ("early", "Early", "mid", "Mid",
+                                         "late", "Late")]):
+            rows.append({
+                "url": f"https://example.org/q{i}",
+                "group_id": "gq",
+                "warc_ts": pd.Timestamp("2025-02-01"),
+                "text": ("Alice Cooper works for GlowCo "
+                         f"since {text_date}."),
+            })
+            i += 1
+    pdf = pd.DataFrame(rows)
+    triples = udfs.extract_triples(spark.createDataFrame(pdf)).toPandas()
+    con = duckdb.connect()
+    con.register("pages", pdf)
+    con.register("triples", triples)
+    con.execute("""
+        CREATE VIEW lines AS
+        SELECT url, warc_ts, unnest(string_split(text, chr(10))) AS line
+        FROM pages""")
+    d = "regexp_extract(line, ' since (.*)\\.$', 1)"
+    counts = _check(con, f"""
+        SELECT url, line,
+          CASE
+            WHEN regexp_matches({d}, '^Q[1-4] (19|20)\\d{{2}}$') THEN
+              make_timestamp(CAST(regexp_extract({d}, '(\\d{{4}})$', 1) AS INT),
+                             3 * (CAST(regexp_extract({d}, '^Q([1-4])', 1) AS INT) - 1) + 1,
+                             1, 0, 0, 0)
+            WHEN regexp_matches({d}, '^[EeMmLl]') THEN
+              make_timestamp(CAST(regexp_extract({d}, '(\\d{{4}})$', 1) AS INT),
+                             CASE lower(regexp_extract({d}, '^([A-Za-z]+)', 1))
+                               WHEN 'early' THEN 1 WHEN 'mid' THEN 7
+                               WHEN 'late' THEN 10 END,
+                             1, 0, 0, 0)
+          END AS want_valid,
+          CAST(NULL AS TIMESTAMP) AS want_invalid,
+          CASE
+            WHEN regexp_matches({d}, '^Q[1-4]') THEN 'quarter'
+            ELSE lower(regexp_extract({d}, '^([A-Za-z]+)', 1))
+          END AS form
+        FROM lines
+        WHERE regexp_matches(line, ' works for .* since .*\\.$')""")
+    assert set(counts) == {"quarter", "early", "mid", "late"}, counts
+    assert counts["quarter"] == 16 and all(
+        counts[f] == 8 for f in ("early", "mid", "late")), counts

@@ -159,6 +159,17 @@ def _surface(d, form):
         return f"{_MONTHS[d.month - 1]} {d.day}{sfx}, {d.year}", d
     if form == "dmy":
         return f"{d.day} {_MONTHS[d.month - 1]} {d.year}", d
+    if form == "quarter":
+        q = (d.month - 1) // 3 + 1
+        return f"Q{q} {d.year}", d.replace(month=3 * (q - 1) + 1, day=1)
+    if form == "eml":
+        # label derived from the date's month so all three get exercised;
+        # capitalization alternates on day parity (sentence-initial form)
+        label, month = (("early", 1) if d.month <= 4
+                        else ("mid", 7) if d.month <= 8 else ("late", 10))
+        if d.day % 2:
+            label = label.capitalize()
+        return f"{label} {d.year}", d.replace(month=month, day=1)
     return str(d.year), d.replace(month=1, day=1)
 
 
@@ -166,7 +177,7 @@ def _surface(d, form):
 @given(st.dates(min_value=datetime(1900, 1, 1).date(),
                 max_value=datetime(2099, 11, 28).date()),
        st.sampled_from(["long", "slash", "dot", "month_year", "iso",
-                        "bare_year", "ordinal", "dmy"]),
+                        "bare_year", "ordinal", "dmy", "quarter", "eml"]),
        st.sampled_from(["since", "starting", "until", "from_to"]))
 def test_date_surface_forms_round_trip(d, form, trigger):
     # every (surface form x trigger) round-trips through parse_dates to
@@ -188,6 +199,23 @@ def test_date_surface_forms_round_trip(d, form, trigger):
         v, i, ex = textcore.parse_dates(
             f"Acme Corp works for Beta Inc {trigger} {text}", ref)
         assert (v, i, ex) == (want, None, True)
+
+
+def test_in_trigger_quarter_and_eml():
+    # the "in" trigger accepts the two r5 year-precision forms (quarter,
+    # early/mid/late) alongside month-year and bare year
+    ref = datetime(2025, 6, 15, 9)
+    v, i, ex = textcore.parse_dates(
+        "Acme Corp sponsors Beta Fest in Q3 2021", ref)
+    assert (v, i, ex) == (datetime(2021, 7, 1), None, True)
+    v, i, ex = textcore.parse_dates(
+        "Acme Corp sponsors Beta Fest in late 2021", ref)
+    assert (v, i, ex) == (datetime(2021, 10, 1), None, True)
+    v, i, ex = textcore.parse_dates("they partnered in Mid 2022", ref)
+    assert (v, i, ex) == (datetime(2022, 7, 1), None, True)
+    # a quantity after "in" still never reads as a date
+    v, i, ex = textcore.parse_dates("output grew in 3500 units", ref)
+    assert (v, i, ex) == (None, None, False)
 
 
 @settings(max_examples=200, deadline=None)
