@@ -134,3 +134,28 @@ def test_hybrid_node_search_indexed_fulltext_parity(spark, tmp_path):
     indexed = hybrid_node_search(nodes, queries, embs, limit=2,
                                  fulltext_index_path=idx).collect()
     assert indexed == scan
+
+
+def test_hybrid_search_indexed_group_filter_parity(spark, tmp_path):
+    # group-filtered orchestrator through the index: the per-group stats
+    # (r5) make the indexed fulltext leg reproduce the scan path's
+    # filter-local scoring exactly, so the whole hybrid result matches
+    from kgspark import fulltext, search as ks
+    nodes = _parity_nodes(spark)
+    idx = str(tmp_path / "ftidxg")
+    fulltext.build_fulltext_index(nodes, "name", idx, num_buckets=8)
+    for gids in (["g1"], ["g2"], ["g1", "g2"]):
+        scan = ks.hybrid_search(nodes, "name", "name_embedding", "Test",
+                                group_ids=gids).collect()
+        indexed = ks.hybrid_search(nodes, "name", "name_embedding", "Test",
+                                   group_ids=gids,
+                                   fulltext_index_path=idx).collect()
+        assert indexed == scan, gids
+        got = hybrid_node_search(nodes, ["Test"],
+                                 [hash_embedding("simquery")],
+                                 group_ids=gids, limit=2,
+                                 fulltext_index_path=idx).collect()
+        want = hybrid_node_search(nodes, ["Test"],
+                                  [hash_embedding("simquery")],
+                                  group_ids=gids, limit=2).collect()
+        assert got == want, gids

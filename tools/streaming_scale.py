@@ -55,9 +55,58 @@ def _edge_sig(edges) -> tuple[int, int]:
     return int(row["n"]), int(row["sig"])
 
 
+def _index_convergence(spark, idx: dict, n_pages: int) -> dict:
+    """Verify each stream-maintained index converges to a from-scratch
+    result over the final corpus: BM25 scores float-exact vs a corpus
+    bm25_search; ANN (full probe) and IVF (nprobe = n_clusters) top-10
+    equal exact brute force over the same deterministic embeddings."""
+    import math
+
+    from kgspark import datapipe as dp
+    from kgspark import fulltext, segments, udfs
+
+    corpus = _batch_pages(spark, 0, n_pages, n_pages).localCheckpoint()
+    out = {"fulltext_gens": segments.committed_gen(
+               idx["fulltext_index_dir"]),
+           "ann_gens": segments.committed_gen(idx["ann_index_dir"]),
+           "ivf_gens": segments.committed_gen(idx["ivf_index_dir"])}
+    ft_ok = True
+    for qy in ("works for", "acquired the"):
+        scan = {r["url"]: r["score"] for r in fulltext.bm25_search(
+            corpus, "text", qy, limit=50, id_col="url").collect()}
+        got = {r["url"]: r["score"] for r in fulltext.bm25_query_indexed(
+            spark, idx["fulltext_index_dir"], qy, limit=50,
+            id_col="url").collect()}
+        ft_ok = ft_ok and set(got) == set(scan) and all(
+            math.isclose(got[k], scan[k], abs_tol=1e-9) for k in scan)
+    out["fulltext_converged"] = ft_ok
+    vecs = corpus.select(
+        "url", udfs.embed_expr()(F.col("text")).alias("embedding")
+    ).localCheckpoint()
+    qv = [float(x) for x in vecs.orderBy("url").first()["embedding"]]
+    want = [r["id"] for r in dp.ann_bruteforce(
+        vecs, qv, k=10, id_col="url", emb_col="embedding").collect()]
+    got_ann = [r["id"] for r in dp.ann_query_indexed(
+        spark, idx["ann_index_dir"], qv, k=10, probe_hamming=12,
+        id_col="url", emb_col="embedding").collect()]
+    got_ivf = [r["id"] for r in dp.ann_ivf_indexed(
+        spark, idx["ivf_index_dir"], qv, k=10, nprobe=idx["ivf_clusters"],
+        id_col="url", emb_col="embedding").collect()]
+    out["ann_converged"] = got_ann == want
+    out["ivf_converged"] = got_ivf == want
+    return out
+
+
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    # --indexes: also maintain the persisted BM25 + ANN + IVF indexes per
+    # micro-batch (r5 wiring) and verify each converges to a from-scratch
+    # result over the final corpus; evidence lands in
+    # BENCH/streaming_index_scale.json (the plain-ingest record in
+    # streaming_scale.json is kept separate for cross-round comparability)
+    args = [a for a in sys.argv[1:] if a != "--indexes"]
+    with_indexes = "--indexes" in sys.argv[1:]
+    n_pages = int(args[0]) if len(args) > 0 else 120_000
+    n_batches = int(args[1]) if len(args) > 1 else 6
     spark = get_spark("kgspark-streaming-scale", cpus=32,
                       shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,10 +126,16 @@ def main() -> None:
              .parquet(f"{inp}/batch_{b:03d}"))
         gen_sec = round(time.time() - t0, 2)
 
+        idx = {}
+        if with_indexes:
+            idx = {"fulltext_index_dir": str(Path(tmp) / "ft_idx"),
+                   "ann_index_dir": str(Path(tmp) / "ann_idx"),
+                   "ivf_index_dir": str(Path(tmp) / "ivf_idx"),
+                   "ivf_clusters": 16}
         t0 = time.time()
         # one single-file chunk per micro-batch, in path (= arrival) order
         q = streaming.incremental_ingest(spark, inp + "/*", base,
-                                         max_files_per_trigger=1)
+                                         max_files_per_trigger=1, **idx)
         q.awaitTermination(3600)
         stream_sec = round(time.time() - t0, 2)
         progress = [p if isinstance(p, dict) else json.loads(p)
@@ -116,12 +171,20 @@ def main() -> None:
                      "bronze union, so later batches pay for accumulated "
                      "group history, not the whole corpus"),
         }
+        if with_indexes:
+            rec["indexes"] = _index_convergence(spark, idx, n_pages)
         print(json.dumps(rec, indent=2))
         if not rec["converged"]:
             raise SystemExit("stream result diverged from batch build")
+        if with_indexes and not all(
+                v for k, v in rec["indexes"].items()
+                if k.endswith("_converged")):
+            raise SystemExit("a stream-maintained index diverged")
         out = Path(__file__).resolve().parents[1] / "BENCH"
         out.mkdir(exist_ok=True)
-        (out / "streaming_scale.json").write_text(json.dumps(rec, indent=2))
+        name = ("streaming_index_scale.json" if with_indexes
+                else "streaming_scale.json")
+        (out / name).write_text(json.dumps(rec, indent=2))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
