@@ -126,8 +126,15 @@ def incremental_ingest(spark: SparkSession, input_dir: str, base: str,
                                                    fulltext_index_dir,
                                                    id_col="url")
             if ann_index_dir or ivf_index_dir:
+                # pin the embeddings: the two index updates run several
+                # actions each (dup check, bucket collect, sidecar +
+                # vector writes) and an unpinned plan would recompute the
+                # page-text embedding UDF — by far the batch's most
+                # expensive stage — once per action
                 vecs = delta.select(
-                    "url", udfs.embed_expr()(F.col("text")).alias("embedding"))
+                    "url",
+                    udfs.embed_expr()(F.col("text")).alias("embedding")
+                ).localCheckpoint()
                 if ann_index_dir:
                     if segments.committed_gen(ann_index_dir) is None:
                         dp.build_ann_index(vecs, ann_index_dir, id_col="url",
