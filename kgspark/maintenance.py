@@ -100,6 +100,68 @@ _OPS = {
 _DATE_FIELDS = ("valid_at", "invalid_at", "expired_at", "created_at")
 
 
+# The reference's one-call index bootstrap (build_indices_and_constraints,
+# graph_data_operations.py:31-96) creates 19 range indexes and THREE Lucene
+# fulltext indexes. The range indexes map to the parquet layout this engine
+# already writes (group_id partition columns + per-column min/max row-group
+# stats serve every uuid / group_id / timestamp predicate — SURVEY §2.1
+# "Index/DDL" row); the fulltext indexes map to persisted BM25 postings
+# indexes (kgspark/fulltext.py), one per entity kind, over the SAME column
+# sets the reference indexes:
+FULLTEXT_INDEXES: dict[str, tuple[str, tuple[str, ...]]] = {
+    # index name                 table          columns (reference :76-84)
+    "node_name_and_summary": ("nodes", ("name", "summary")),
+    "community_name": ("communities", ("name",)),
+    "edge_name_and_fact": ("edges", ("name", "fact")),
+}
+
+
+def build_indices_and_constraints(tables: dict[str, DataFrame], out_dir: str,
+                                  delete_existing: bool = False,
+                                  num_buckets: int = 64) -> dict[str, str]:
+    """One-call fulltext-index bootstrap over the graph tables
+    (build_indices_and_constraints, graph_data_operations.py:31-96
+    analog). Builds the reference's three fulltext indexes as persisted
+    BM25 postings indexes under ``{out_dir}/{index_name}``, each
+    searchable via ``fulltext.bm25_query_indexed`` and pluggable into
+    ``search.hybrid_search(fulltext_index_path=…)``, and each
+    incrementally maintainable via ``fulltext.update_fulltext_index``
+    (re-index the SAME concatenated column set for delta rows).
+
+    IF-NOT-EXISTS semantics like the reference's CREATE INDEX statements:
+    an index that already has a committed generation is left untouched
+    unless ``delete_existing=True`` (the analog of the reference's
+    drop-then-recreate path). The group_id column is carried into every
+    index (the reference includes group_id in each fulltext index's field
+    list; here it is a filter column for group-scoped queries, with exact
+    filter-local BM25 stats). Returns {index_name: path} for the indexes
+    present in ``tables``."""
+    import shutil
+    from pathlib import Path
+
+    from kgspark import fulltext, segments
+
+    out: dict[str, str] = {}
+    for idx_name, (table, cols) in FULLTEXT_INDEXES.items():
+        df = tables.get(table)
+        if df is None:
+            continue
+        path = str(Path(out_dir) / idx_name)
+        if delete_existing:
+            shutil.rmtree(path, ignore_errors=True)
+        if segments.committed_gen(path) is None:
+            present = [c for c in cols if c in df.columns]
+            searchable = F.concat_ws(" ", *[
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in present])
+            fulltext.build_fulltext_index(
+                df.withColumn("__search_text", searchable),
+                "__search_text", path, id_col="uuid",
+                num_buckets=num_buckets)
+        out[idx_name] = path
+    return out
+
+
 def build_filter(spec: dict) -> Column:
     """SearchFilters analog: per temporal field, a list of OR-groups, each a
     list of AND-ed ``(op, value)`` pairs (the DNF shape of

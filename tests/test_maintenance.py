@@ -86,3 +86,48 @@ def test_build_filter_dnf(spark, graph):
     got = edges.filter(cond)
     assert got.filter(F.col("name") != "LIKES").count() == 0
     assert got.filter(F.col("invalid_at").isNotNull()).count() == 0
+
+
+def test_build_indices_and_constraints(spark, graph, tmp_path):
+    # one-call fulltext-index bootstrap (graph_data_operations.py:31-96):
+    # the reference's three fulltext indexes land as persisted BM25
+    # postings indexes; IF-NOT-EXISTS semantics; scores float-exact vs a
+    # bm25_search over the same concatenated columns
+    from kgspark import fulltext, segments
+    from kgspark.communities import build_communities
+
+    tables = dict(graph)
+    tables["communities"] = build_communities(
+        graph["nodes"], graph["edges"])["communities"].localCheckpoint()
+    out_dir = str(tmp_path / "gidx")
+    got = mt.build_indices_and_constraints(tables, out_dir)
+    assert set(got) == {"node_name_and_summary", "community_name",
+                        "edge_name_and_fact"}
+    for path in got.values():
+        assert segments.committed_gen(path) == 0
+    # query parity on the edge index: name+fact concatenated like the
+    # reference's field list
+    edges = tables["edges"].withColumn(
+        "__search_text",
+        F.concat_ws(" ", F.coalesce(F.col("name"), F.lit("")),
+                    F.coalesce(F.col("fact"), F.lit(""))))
+    q = "works for"
+    scan = {r["uuid"]: r["score"] for r in fulltext.bm25_search(
+        edges, "__search_text", q, limit=50).collect()}
+    idx = {r["uuid"]: r["score"] for r in fulltext.bm25_query_indexed(
+        spark, got["edge_name_and_fact"], q, limit=50).collect()}
+    assert scan and set(idx) == set(scan)
+    for k in scan:
+        assert idx[k] == pytest.approx(scan[k], abs=1e-12)
+    # IF NOT EXISTS: grow an index, re-bootstrap, the generation survives
+    delta = (tables["nodes"].limit(3)
+             .withColumn("uuid", F.concat(F.lit("new-"), "uuid"))
+             .withColumn("__search_text", F.coalesce("name", F.lit(""))))
+    fulltext.update_fulltext_index(delta, "__search_text",
+                                   got["node_name_and_summary"])
+    assert segments.committed_gen(got["node_name_and_summary"]) == 1
+    mt.build_indices_and_constraints(tables, out_dir)
+    assert segments.committed_gen(got["node_name_and_summary"]) == 1
+    # delete_existing=True drops and rebuilds from scratch
+    mt.build_indices_and_constraints(tables, out_dir, delete_existing=True)
+    assert segments.committed_gen(got["node_name_and_summary"]) == 0
