@@ -216,6 +216,46 @@ def test_ivf_update_matches_fresh_assignment(spark, tmp_path):
     assert got == want
 
 
+def test_index_update_replay_is_convergent(spark, tmp_path):
+    # foreachBatch delivers at-least-once: a crashed micro-batch is
+    # REPLAYED. incremental_ingest's convergence claim — the replayed
+    # generation tombstones its own previous copy instead of duplicating —
+    # pinned directly at the update level for all three index families.
+    ft = str(tmp_path / "rft")
+    fulltext.build_fulltext_index(_corpus_a(spark), "fact", ft,
+                                  num_buckets=8)
+    delta = _delta_b(spark)
+    fulltext.update_fulltext_index(delta, "fact", ft)
+    before = {q: _idx_scores(spark, ft, q) for q in QUERIES}
+    assert fulltext.update_fulltext_index(delta, "fact", ft) == 2  # replay
+    for q in QUERIES:
+        after = _idx_scores(spark, ft, q)
+        assert set(after) == set(before[q]), q
+        for k in after:
+            assert after[k] == pytest.approx(before[q][k], abs=1e-12), q
+    ann = str(tmp_path / "rann")
+    base = _emb_df(spark, range(1, 30))
+    d = _emb_df(spark, [1, 2, 50], shift=0.5)
+    dp.build_ann_index(base, ann, n_planes=8)
+    dp.update_ann_index(d, ann)
+    qv = [float(x) for x in _emb_df(spark, [99]).first()["embedding"]]
+    want = [(r["id"], r["cos"]) for r in dp.ann_query_indexed(
+        spark, ann, qv, k=10, probe_hamming=8).collect()]
+    dp.update_ann_index(d, ann)  # replay
+    got = [(r["id"], r["cos"]) for r in dp.ann_query_indexed(
+        spark, ann, qv, k=10, probe_hamming=8).collect()]
+    assert got == want
+    ivf = str(tmp_path / "rivf")
+    dp.build_ivf_index(base, ivf, n_clusters=4, iters=2)
+    dp.update_ivf_index(d, ivf)
+    want = [r["id"] for r in dp.ann_ivf_indexed(
+        spark, ivf, qv, k=10, nprobe=4).collect()]
+    dp.update_ivf_index(d, ivf)  # replay
+    got = [r["id"] for r in dp.ann_ivf_indexed(
+        spark, ivf, qv, k=10, nprobe=4).collect()]
+    assert got == want
+
+
 def _axis_emb_df(spark, specs):
     """Deterministic vectors near given axis directions: specs is a list of
     (vec_id, direction array). Small seeded noise decides ties."""
