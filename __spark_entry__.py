@@ -385,14 +385,25 @@ def q_top_revenue_orders(spark, sf_dir):
 
 
 def q_regional_revenue(spark, sf_dir):
+    # FACT-FIRST join shape (r5): the dimension chain (region ⋈ nation ⋈
+    # customer, pruned to 2 columns) joins INTO the lineitem⋈orders stream
+    # instead of accumulating left-to-right from the 5-row region table.
+    # The old dim-first declaration made Catalyst broadcast every right
+    # side — including the pruned LINEITEM fact table (600k-row hash
+    # relation built on the driver) — while streaming 5 rows. Fact-first
+    # lets AQE pick per-join strategy from runtime sizes: at sf0.1 it
+    # broadcasts orders + dims (measured 2.7 s -> 2.1 s best-of-3); at
+    # 100 TB the same declaration shuffles li⋈o and li⋈customer-chain on
+    # their keys — no hint pins a customer-sized broadcast.
     r, n = _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation")
     c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    dims = (r.join(n, r["r_regionkey"] == n["n_regionkey"])
+            .join(c, n["n_nationkey"] == c["c_nationkey"])
+            .select("r_name", "c_custkey"))
     return (
-        r.join(n, r["r_regionkey"] == n["n_regionkey"])
-        .join(c, n["n_nationkey"] == c["c_nationkey"])
-        .join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(dims, o["o_custkey"] == dims["c_custkey"])
         .groupBy("r_name")
         .agg(F.round(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))), 2)
              .cast("double").alias("revenue"),
